@@ -1,0 +1,344 @@
+"""Plan -> DataFrame lowering.
+
+This is the engine's "physical planning" entry point, except there is
+deliberately almost no physical planning here: the SelectBuilder lowers to
+declarative DataFrame operations and Catalyst picks the physical strategy
+(predicate pushdown, column pruning, broadcast-vs-SMJ, whole-stage codegen,
+AQE skew handling).  The only physical decisions we make ourselves are the
+ones Catalyst cannot (SURVEY.md §4 implication table):
+
+  * watermarks before stateful streaming ops (the reference has no client-side
+    notion of grace periods; ksqlDB does it server-side),
+  * broadcast hints for stream-table joins against small dimension relations,
+  * time-range bounds on stream-stream joins (state cleanup requirement),
+  * LATEST_BY_OFFSET's deterministic event-order key.
+
+Reference parity: the lowering table in SURVEY.md §2 is the spec; citations
+inline.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..builder import EmitMode, FromExpression, JoinKind, Ref, SelectBuilder
+from ..errors import AnalysisError
+from ..expr import (
+    AggregateFn,
+    BooleanExpr,
+    Conditional,
+    EarliestByOffset,
+    Expr,
+    ExpressionList,
+    Field,
+    LatestByOffset,
+)
+
+DEFAULT_GRACE = "10 minutes"
+
+
+class CompileContext:
+    """Per-compilation state: source resolution + event-time metadata."""
+
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        catalog=None,
+        sources: dict[str, DataFrame] | None = None,
+        streaming: bool = False,
+        grace: str = DEFAULT_GRACE,
+        event_time: str | None = None,
+        event_order: list[str] | None = None,
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.sources = {k.lower(): v for k, v in (sources or {}).items()}
+        self.streaming = streaming
+        self.grace = grace
+        self.event_time = event_time
+        self.event_order = event_order
+
+    def resolve(self, fe: FromExpression) -> DataFrame:
+        name = fe.name.lower()
+        if name in self.sources:
+            df = self.sources[name]
+        elif self.catalog is not None and self.catalog.exists(fe.name):
+            rel = self.catalog.get(fe.name)
+            if self.streaming and rel.ref == Ref.STREAM and fe.ref == Ref.STREAM:
+                df = self.catalog.read_stream(fe.name)
+            else:
+                df = self.catalog.read(fe.name)
+        else:
+            raise AnalysisError(f"unknown relation {fe.name!r}")
+        return df.alias(fe.effective_name())
+
+    def relation_meta(self, fe: FromExpression):
+        if self.catalog is not None and self.catalog.exists(fe.name):
+            return self.catalog.get(fe.name)
+        return None
+
+    def resolve_event_time(self, fe: FromExpression, df: DataFrame) -> str | None:
+        if self.event_time:
+            return self.event_time
+        rel = self.relation_meta(fe)
+        if rel is not None and rel.event_time_col:
+            return rel.event_time_col
+        if "ts" in df.columns:
+            return "ts"
+        return None
+
+    def resolve_event_order(self, fe: FromExpression, df: DataFrame) -> list[str]:
+        if self.event_order:
+            return self.event_order
+        rel = self.relation_meta(fe)
+        if rel is not None and rel.event_order_cols:
+            return rel.event_order_cols
+        cols = [c for c in ("ts", "turn_idx") if c in df.columns]
+        return cols
+
+
+# ---------------------------------------------------------------------------
+# HAVING lowering: aggregate refs inside conditions become hidden agg outputs
+# ---------------------------------------------------------------------------
+
+
+def _collect_aggs(expr: Any, out: list[AggregateFn]) -> None:
+    if isinstance(expr, AggregateFn):
+        out.append(expr)
+        return
+    if isinstance(expr, Conditional):
+        _collect_aggs(expr.left, out)
+        _collect_aggs(expr.right, out)
+    elif isinstance(expr, ExpressionList):
+        for e in expr.exprs:
+            _collect_aggs(e, out)
+
+
+def _lower_with_subs(expr: Any, subs: dict[int, str]) -> Column:
+    """Lower a boolean tree, replacing AggregateFn leaves with their
+    post-aggregation column references (reference: aggregatedField wrappers,
+    ksql/field.go:222-299)."""
+    if isinstance(expr, AggregateFn) and id(expr) in subs:
+        return F.col(subs[id(expr)])
+    if isinstance(expr, Conditional):
+        left = _lower_with_subs(expr.left, subs) if isinstance(expr.left, Expr) else F.lit(expr.left)
+        op = expr.op
+        if op in ("IS NULL", "IS NOT NULL", "IS TRUE", "IS FALSE"):
+            return {
+                "IS NULL": left.isNull(),
+                "IS NOT NULL": left.isNotNull(),
+                "IS TRUE": left == F.lit(True),
+                "IS FALSE": left == F.lit(False),
+            }[op]
+        if op in ("IN", "NOT IN"):
+            cond = left.isin(*expr.right)
+            return cond if op == "IN" else ~cond
+        right = (
+            _lower_with_subs(expr.right, subs)
+            if isinstance(expr.right, Expr)
+            else F.lit(expr.right)
+        )
+        return {
+            "=": left == right,
+            "!=": left != right,
+            ">": left > right,
+            ">=": left >= right,
+            "<": left < right,
+            "<=": left <= right,
+        }[op]
+    if isinstance(expr, ExpressionList):
+        cols = [_lower_with_subs(e, subs) for e in expr.exprs]
+        acc = cols[0]
+        for c in cols[1:]:
+            acc = (acc & c) if expr.op == "AND" else (acc | c)
+        return acc
+    if isinstance(expr, Expr):
+        return expr.to_column()
+    return F.lit(expr)
+
+
+# ---------------------------------------------------------------------------
+# Main lowering
+# ---------------------------------------------------------------------------
+
+
+def compile_select(
+    sb: SelectBuilder,
+    *,
+    spark: SparkSession | None = None,
+    catalog=None,
+    sources: dict[str, DataFrame] | None = None,
+    streaming: bool = False,
+    grace: str = DEFAULT_GRACE,
+    event_time: str | None = None,
+    event_order: list[str] | None = None,
+) -> DataFrame:
+    """Lower a validated SelectBuilder to a DataFrame.
+
+    ``sources`` overrides catalog resolution by relation name (used by the
+    streaming engine to thread readStream frames through, and by tests).
+    """
+    sb.validate()
+    ctx = CompileContext(
+        spark=spark,
+        catalog=catalog,
+        sources=sources,
+        streaming=streaming,
+        grace=grace,
+        event_time=event_time,
+        event_order=event_order,
+    )
+
+    # CTE: just another named source (SURVEY.md §2.8 — plain DataFrame composition)
+    if sb.cte is not None:
+        alias, sub = sb.cte
+        ctx.sources[alias.lower()] = compile_select(
+            sub,
+            spark=spark,
+            catalog=catalog,
+            sources=sources,
+            streaming=streaming,
+            grace=grace,
+        )
+
+    assert sb.from_expr is not None
+    df = ctx.resolve(sb.from_expr)
+    ts_col = ctx.resolve_event_time(sb.from_expr, df)
+    order_cols = ctx.resolve_event_order(sb.from_expr, df)
+
+    left_is_stream = sb.from_expr.ref == Ref.STREAM
+
+    # watermark before any stateful streaming op (SURVEY.md §2.5)
+    needs_state = streaming and (sb.window is not None or sb.group_by or sb.joins)
+    if needs_state and left_is_stream:
+        if ts_col is None:
+            raise AnalysisError("stateful streaming query requires an event-time column")
+        df = df.withWatermark(ts_col, grace)
+
+    # -- joins (left-deep, SURVEY.md §2.3) ---------------------------------
+    for j in sb.joins:
+        right = ctx.resolve(j.source)
+        right_rel = ctx.relation_meta(j.source)
+        right_is_stream = j.source.ref == Ref.STREAM
+
+        if streaming and left_is_stream and right_is_stream:
+            # stream-stream: watermark the right side; require a time bound
+            r_ts = ctx.resolve_event_time(j.source, right)
+            if r_ts is None:
+                raise AnalysisError("stream-stream join requires event-time on both sides")
+            right = right.withWatermark(r_ts, grace)
+            if j.within_seconds is None and j.kind != JoinKind.INNER:
+                # ksqlDB restricts outer stream-stream joins to windowed joins;
+                # we enforce the same (SURVEY.md §2.3)
+                raise AnalysisError("outer stream-stream join requires within_seconds (windowed join)")
+
+        on: Column | None = j.on.to_column() if j.on is not None else None
+        if j.within_seconds is not None:
+            l_ts = F.col(f"{sb.from_expr.effective_name()}.{ts_col}")
+            r_ts_col = F.col(
+                f"{j.source.effective_name()}.{ctx.resolve_event_time(j.source, right) or 'ts'}"
+            )
+            bound = (r_ts_col >= l_ts - F.expr(f"INTERVAL {j.within_seconds} SECONDS")) & (
+                r_ts_col <= l_ts + F.expr(f"INTERVAL {j.within_seconds} SECONDS")
+            )
+            on = bound if on is None else (on & bound)
+
+        # broadcast small dimension tables: explicit for stream-table joins
+        # (Catalyst's size-based auto-broadcast handles pure batch plans)
+        if right_rel is not None and right_rel.broadcast:
+            right = F.broadcast(right)
+        elif streaming and left_is_stream and not right_is_stream:
+            right = F.broadcast(right)
+
+        if j.kind == JoinKind.CROSS:
+            df = df.crossJoin(right)
+        else:
+            df = df.join(right, on=on, how=j.kind.value)
+
+    # -- WHERE: conjunctive list (ksql/where.go:10-75) -----------------------
+    for cond in sb.where_exprs:
+        df = df.filter(cond.to_column())
+
+    # -- aggregation ---------------------------------------------------------
+    agg_fields = [f for f in sb.fields if f.is_aggregate()]
+    if agg_fields or sb.group_by:
+        df = _lower_aggregate(sb, df, ts_col, order_cols)
+    else:
+        out_cols = [f.output() for f in sb.fields]
+        df = df.select(*out_cols)
+
+    # -- ORDER BY / LIMIT ------------------------------------------------------
+    if sb.order_by:
+        if streaming:
+            # like ksqlDB: sorting an unbounded push query is rejected
+            raise AnalysisError("ORDER BY on a streaming push query is not supported")
+        df = df.orderBy(*[o.to_column() for o in sb.order_by])
+    if sb.limit_n is not None:
+        df = df.limit(sb.limit_n)
+    return df
+
+
+def _lower_aggregate(
+    sb: SelectBuilder, df: DataFrame, ts_col: str | None, order_cols: list[str]
+) -> DataFrame:
+    # inject event-order key into LATEST/EARLIEST_BY_OFFSET (parity contract:
+    # offset := struct(ts, turn_idx); SURVEY.md §7)
+    for f in sb.fields:
+        if isinstance(f, (LatestByOffset, EarliestByOffset)) and not f.order_by:
+            if not order_cols:
+                raise AnalysisError(
+                    "LATEST/EARLIEST_BY_OFFSET requires an event-order key "
+                    "(relation metadata event_order or explicit order_by)"
+                )
+            f.order_by = [Field(c) for c in order_cols]
+
+    group_cols: list[Column] = []
+    windowed = sb.window is not None
+    if windowed:
+        if ts_col is None:
+            raise AnalysisError("windowed aggregation requires an event-time column")
+        group_cols.append(sb.window.grouping_column(ts_col).alias("__window"))
+    group_cols.extend(g.output() for g in sb.group_by)
+
+    # hidden aggregates for HAVING (reference: HAVING over aggregates,
+    # select_builder_test.go:92-99)
+    having_aggs: list[AggregateFn] = []
+    for cond in sb.having_exprs:
+        _collect_aggs(cond, having_aggs)
+    subs: dict[int, str] = {}
+    hidden_cols: list[Column] = []
+    for i, agg in enumerate(having_aggs):
+        hname = f"__having_{i}"
+        subs[id(agg)] = hname
+        hidden_cols.append(agg.to_column().alias(hname))
+
+    agg_cols = [f.output() for f in sb.fields if f.is_aggregate()]
+    if not agg_cols and not hidden_cols:
+        # GROUP BY with no aggregates == DISTINCT over the keys
+        agg_cols = [F.count(F.lit(1)).alias("__cnt")]
+
+    grouped = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    out = grouped.agg(*agg_cols, *hidden_cols)
+
+    for cond in sb.having_exprs:
+        out = out.filter(_lower_with_subs(cond, subs))
+    if subs:
+        out = out.drop(*subs.values())
+
+    # final projection in declared order; windows expose window_start/window_end
+    proj: list[Column] = []
+    if windowed:
+        proj.append(F.col("__window.start").alias("window_start"))
+        proj.append(F.col("__window.end").alias("window_end"))
+    for f in sb.fields:
+        if f.is_aggregate():
+            proj.append(F.col(f.output_name()))
+        elif isinstance(f, Field):
+            # grouped output drops relation qualifiers; re-apply the alias
+            proj.append(F.col(f.name.split(".")[-1]).alias(f.output_name()))
+        else:
+            proj.append(F.col(f.output_name()))
+    return out.select(*proj)
