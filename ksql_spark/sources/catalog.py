@@ -200,6 +200,12 @@ class Catalog:
     def read(self, name: str) -> DataFrame:
         """Batch snapshot read of a relation."""
         rel = self.get(name)
+        sink = rel.metadata.get("sink")
+        if sink is not None:
+            # persistent-query output: committed changelog epochs only
+            if rel.ref == Ref.TABLE and rel.metadata.get("state_keys"):
+                return sink.read_latest_state(self.spark, rel.metadata["state_keys"])
+            return sink.read_data(self.spark)
         if rel.format == "iceberg":
             return self.spark.read.table(rel.path)
         df = self.spark.read.parquet(self._data_glob(rel))

@@ -1,0 +1,177 @@
+"""Exactly-once changelog sink.
+
+Structured Streaming's ``foreachBatch`` gives at-least-once epoch delivery:
+after a crash between "batch written" and "offsets committed", the same
+``batch_id`` is re-delivered.  Exactly-once therefore needs an idempotent,
+atomic commit per epoch — exactly what Iceberg snapshot commits provide in
+production.  Locally (no Iceberg jars in this sandbox) we emulate the same
+contract with a parquet layout that is idempotent by construction:
+
+    <root>/data/__batch_id=<epoch>/part-*.parquet   (one dir per epoch)
+    <root>/_commits/<epoch>.json                    (atomic rename marker)
+
+* Re-delivered epoch with marker present  -> skipped entirely (dedup).
+* Re-delivered epoch without marker       -> dir overwritten, then marker
+  written via ``os.rename`` (atomic on POSIX).  Partial dirs without a
+  marker are invisible to readers.
+* Readers union only committed epoch dirs.
+
+On a cluster, swap ``IcebergChangelogSink`` in: ``MERGE INTO`` keyed on
+(group key, window_start) with the epoch id stored in snapshot summary
+properties; Iceberg's atomic swap plays the role of the rename.
+
+The changelog carries lineage columns (``__batch_id``, ``__op``) per the
+north rule; per-partition row counts are recorded in the commit marker, so
+every epoch's provenance (which partition produced how many rows) survives
+restarts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+OP_UPSERT = "U"
+OP_APPEND = "A"
+
+
+class ExactlyOnceParquetSink:
+    """Idempotent per-epoch parquet changelog writer (local Iceberg stand-in)."""
+
+    def __init__(self, root: str, op: str = OP_APPEND, lineage: bool = True):
+        self.root = root
+        self.op = op
+        self.lineage = lineage
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.commit_dir, exist_ok=True)
+
+    @property
+    def data_dir(self) -> str:
+        return os.path.join(self.root, "data")
+
+    @property
+    def commit_dir(self) -> str:
+        return os.path.join(self.root, "_commits")
+
+    def _batch_path(self, batch_id: int) -> str:
+        return os.path.join(self.data_dir, f"__batch_id={batch_id}")
+
+    def _marker_path(self, batch_id: int) -> str:
+        return os.path.join(self.commit_dir, f"{batch_id}.json")
+
+    def is_committed(self, batch_id: int) -> bool:
+        return os.path.exists(self._marker_path(batch_id))
+
+    def committed_batches(self) -> list[int]:
+        if not os.path.isdir(self.commit_dir):
+            return []
+        return sorted(
+            int(f[: -len(".json")]) for f in os.listdir(self.commit_dir) if f.endswith(".json")
+        )
+
+    # -- foreachBatch entry point -------------------------------------------
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            # epoch re-delivery after restart: already durable, skip (dedup)
+            return
+        path = self._batch_path(batch_id)
+        if os.path.exists(path):
+            shutil.rmtree(path)  # partial write from a crashed attempt
+
+        out = batch_df.withColumn("__op", F.lit(self.op))
+        lineage_rows: list[dict] = []
+        if self.lineage:
+            out = out.withColumn("__part_id", F.spark_partition_id())
+            out.write.mode("overwrite").parquet(path)
+            spark = batch_df.sparkSession
+            lineage_rows = [
+                {"partition": r["__part_id"], "rows": r["cnt"]}
+                for r in spark.read.parquet(path)
+                .groupBy("__part_id")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            ]
+        else:
+            out.write.mode("overwrite").parquet(path)
+
+        marker = {
+            "batch_id": batch_id,
+            "committed_at": time.time(),
+            "op": self.op,
+            "partitions": lineage_rows,
+            "rows": sum(r["rows"] for r in lineage_rows) if lineage_rows else None,
+        }
+        tmp = self._marker_path(batch_id) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(marker, fh)
+        os.rename(tmp, self._marker_path(batch_id))  # atomic commit point
+
+    # -- reading back ----------------------------------------------------------
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Union of committed epochs only (uncommitted dirs are invisible)."""
+        batches = self.committed_batches()
+        if not batches:
+            raise FileNotFoundError(f"no committed batches under {self.root}")
+        paths = [self._batch_path(b) for b in batches]
+        return spark.read.option("basePath", self.data_dir).parquet(*paths)
+
+    def read_data(self, spark: SparkSession) -> DataFrame:
+        """Committed rows without lineage columns (parity-comparison view)."""
+        df = self.read(spark)
+        drop = [c for c in ("__op", "__part_id", "__batch_id") if c in df.columns]
+        return df.drop(*drop)
+
+    def read_latest_state(self, spark: SparkSession, keys: list[str]) -> DataFrame:
+        """Materialized TABLE view: latest row per key across the changelog.
+
+        This is the QUERYABLE_<name> projection (reference:
+        tables/specification.go:323-355) — derived from the changelog, the
+        stream/table duality made literal.  One hash-agg over the changelog;
+        in production this is an Iceberg MERGE-maintained table instead.
+        """
+        df = self.read(spark)
+        lineage = {"__op", "__part_id", "__batch_id"}
+        value_cols = [c for c in df.columns if c not in keys and c not in lineage]
+        # update-mode changelogs emit at most one row per key per epoch, so
+        # the epoch id is a total order per key
+        agg = [F.max_by(F.struct(*value_cols), F.col("__batch_id").cast("long")).alias("__v")]
+        out = df.groupBy(*[F.col(k) for k in keys]).agg(*agg)
+        return out.select(*keys, *[F.col(f"__v.{c}").alias(c) for c in value_cols])
+
+
+class IcebergChangelogSink:
+    """Production sink: exactly-once MERGE into an Iceberg table.
+
+    Not runnable in this sandbox (no Iceberg runtime jars); kept as the
+    deployment path with the identical interface.  Epoch idempotency comes
+    from checking the last committed epoch recorded in the table's snapshot
+    summary before merging.
+    """
+
+    def __init__(self, table: str, keys: list[str], op: str = OP_UPSERT):
+        self.table = table
+        self.keys = keys
+        self.op = op
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:  # pragma: no cover
+        spark = batch_df.sparkSession
+        last = (
+            spark.sql(f"SELECT summary['ksql.batch_id'] v FROM {self.table}.snapshots "
+                      "ORDER BY committed_at DESC LIMIT 1").collect()
+        )
+        if last and last[0]["v"] is not None and int(last[0]["v"]) >= batch_id:
+            return  # epoch already merged
+        view = f"__ksql_batch_{batch_id}"
+        batch_df.withColumn("__op", F.lit(self.op)).createOrReplaceTempView(view)
+        on = " AND ".join(f"t.{k} = s.{k}" for k in self.keys)
+        spark.sql(
+            f"MERGE INTO {self.table} t USING {view} s ON {on} "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        )

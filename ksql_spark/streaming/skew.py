@@ -1,0 +1,114 @@
+"""Partitioning and skew handling.
+
+The north rule mandates explicit repartitioning on ``conv_id`` and
+salted-key handling for skewed long conversations.  AQE's skew-join split
+covers *batch* joins; stateful streaming aggregation over a power-law key
+distribution (a handful of million-turn conversations) needs the classic
+two-phase salted aggregate, which AQE cannot do.
+
+All helpers are pure DataFrame transforms — no Python row paths.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def repartition_by_key(df: DataFrame, key: str | Sequence[str], num_partitions: int | None = None) -> DataFrame:
+    """Explicit hash repartitioning on the conversation key.
+
+    Matches the reference's WITH (PARTITIONS=n) metadata (ksql/metadata.go)
+    and the north rule's "explicit repartitioning on conv_id".  When the
+    downstream groupBy uses the same key and partition count, Catalyst
+    reuses this exchange instead of inserting a second shuffle.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    cols = [F.col(k) for k in keys]
+    if num_partitions:
+        return df.repartition(num_partitions, *cols)
+    return df.repartition(*cols)
+
+
+def add_salt(df: DataFrame, salt_buckets: int, deterministic_cols: Sequence[str] | None = None) -> DataFrame:
+    """Append a salt column in [0, salt_buckets).
+
+    Deterministic (hash of the given columns) so re-delivered epochs salt
+    identically — required for exactly-once replay stability; never uses
+    rand().
+    """
+    if deterministic_cols:
+        salt = F.pmod(F.abs(F.xxhash64(*[F.col(c) for c in deterministic_cols])), salt_buckets)
+    else:
+        salt = F.pmod(F.abs(F.xxhash64(F.monotonically_increasing_id())), salt_buckets)
+    return df.withColumn(SALT_COL, salt.cast("int"))
+
+
+def salted_two_phase_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+    salt_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys.
+
+    Phase 1 aggregates on (keys + salt) — the hot key is spread over
+    ``salt_buckets`` reducers; phase 2 merges partials on the true keys.
+    ``aggs`` maps output name -> (function, column) where function is one of
+    the algebraic aggregates: count, sum, min, max, avg.
+
+    avg is decomposed into (sum, count) partials so the merge is exact.
+    """
+    phase1: list[Column] = []
+    phase2: list[Column] = []
+    for out, (fn, col) in aggs.items():
+        if fn == "count":
+            phase1.append(F.count(F.col(col)).alias(f"__p_{out}"))
+            phase2.append(F.sum(f"__p_{out}").alias(out))
+        elif fn == "sum":
+            phase1.append(F.sum(F.col(col)).alias(f"__p_{out}"))
+            phase2.append(F.sum(f"__p_{out}").alias(out))
+        elif fn == "min":
+            phase1.append(F.min(F.col(col)).alias(f"__p_{out}"))
+            phase2.append(F.min(f"__p_{out}").alias(out))
+        elif fn == "max":
+            phase1.append(F.max(F.col(col)).alias(f"__p_{out}"))
+            phase2.append(F.max(f"__p_{out}").alias(out))
+        elif fn == "avg":
+            phase1.append(F.sum(F.col(col)).alias(f"__p_{out}_s"))
+            phase1.append(F.count(F.col(col)).alias(f"__p_{out}_c"))
+            phase2.append(
+                (F.sum(f"__p_{out}_s") / F.sum(f"__p_{out}_c")).alias(out)
+            )
+        else:
+            raise ValueError(f"salted agg does not support {fn!r} (not algebraic)")
+
+    salted = add_salt(df, salt_buckets, deterministic_cols=salt_cols or ["turn_idx"])
+    partial = salted.groupBy(*[F.col(k) for k in keys], F.col(SALT_COL)).agg(*phase1)
+    return partial.groupBy(*[F.col(k) for k in keys]).agg(*phase2)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    left_salt_cols: Sequence[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big/skewed left side, explode the
+    right side across all buckets.  Right-side fan-out is ×salt_buckets, so
+    use only when the right side is small-to-medium (else prefer AQE's
+    skew-join split for batch plans).
+    """
+    l = add_salt(left, salt_buckets, deterministic_cols=left_salt_cols)
+    r = right.withColumn(
+        SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = l.join(r, on=[key, SALT_COL], how=how)
+    return out.drop(SALT_COL)
