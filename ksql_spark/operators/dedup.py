@@ -1,0 +1,363 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, all expressed as DataFrame compositions over built-in
+functions (JVM-side; the only shuffles are the ones the algorithm demands):
+
+  exact          hash-groupBy on a normalized-text fingerprint
+  minhash + LSH  word-shingles -> k portable minhashes -> banded bucket-join
+  simhash        bitwise majority over token hashes -> hamming-ball pairs
+  ngram-jaccard  exact Jaccard on shingle sets (verification + small-scale)
+  embedding      cosine-similarity near-dup over array<float> embeddings
+
+Scale notes (the part that matters at 100 TB):
+  * every signature is computed in a single projection — one scan, no UDF;
+  * LSH candidate generation shuffles on (band_id, band_hash) — the classic
+    band-bucket join — and only candidate pairs (a tiny fraction) reach the
+    exact-verification stage;
+  * pair enumeration inside a bucket uses a self-join on the bucket key,
+    with ``id_l < id_r`` pushed into the join condition so each pair
+    materializes once;
+  * the brute-force variants exist as correctness oracles and for small
+    inputs; the banded paths are the 1000-executor plan.
+
+All hashes are the md5-based portable hash (functions.text.portable_hash60),
+so the DuckDB oracle can reproduce signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, normalize_text, portable_hash60
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per normalized-text fingerprint.
+
+    One hash-aggregate; at scale this is a single shuffle on the 128-bit
+    fingerprint with near-perfect key distribution.
+    """
+    return (
+        df.withColumn("__fp", fingerprint(F.col(text_col)))
+        .groupBy("__fp")
+        .agg(F.min(F.col(id_col)).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("__fp")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Fingerprint groups with >1 member (the duplicates themselves)."""
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.sort_array(F.collect_list(F.col(id_col))).alias("doc_ids"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Overlapping word n-gram shingles of the normalized text (distinct).
+
+    Docs shorter than n words contribute their full text as one shingle so
+    they still participate in dedup.
+    """
+    w = F.filter(F.split(normalize_text(text), " "), lambda x: x != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(text: Column, n_hashes: int = 32, shingle_n: int = 3) -> Column:
+    """k-minhash signature as array<bigint>.
+
+    hash_k(s) = portable_hash60(k || '|' || s); the signature is the
+    element-wise min across the shingle set — one projection, no explode.
+    """
+    sh = word_shingles(text, shingle_n)
+    mins = [
+        F.array_min(
+            F.transform(sh, lambda s, k=k: portable_hash60(F.concat(F.lit(f"{k}|"), s)))
+        )
+        for k in range(n_hashes)
+    ]
+    return F.array(*mins)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two shingle arrays (already distinct)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Brute-force exact-Jaccard near-dup pairs (id_l < id_r).
+
+    O(n²) compare — the correctness oracle and small-input path.  At scale
+    use ``minhash_lsh_pairs``, which bounds the compare set to LSH
+    candidates.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    l = sh.alias("l")
+    r = sh.alias("r")
+    pairs = l.join(r, F.col("l.id") < F.col("r.id"))
+    return (
+        pairs.select(
+            F.col("l.id").alias("id_l"),
+            F.col("r.id").alias("id_r"),
+            F.round(jaccard(F.col("l.sh"), F.col("r.sh")), 6).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified (id_l < id_r).
+
+    Plan shape:
+      1. one scan: signature + shingles per doc;
+      2. explode to ``bands`` rows/doc; band key = md5 of the band's slice
+         -> shuffle on (band_id, band_hash) groups only colliding docs;
+      3. self-join per bucket emits candidate pairs (dedup'd across bands);
+      4. exact Jaccard verification keeps true near-dups.
+
+    With r = n_hashes/bands rows per band, collision prob at similarity s is
+    1-(1-s^r)^b — tuned so s >= threshold is caught with high probability;
+    verification removes false positives, so precision is exact.
+    """
+    if n_hashes % bands != 0:
+        raise ValueError("n_hashes must be divisible by bands")
+    r = n_hashes // bands
+
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+        minhash_signature(F.col(text_col), n_hashes, shingle_n).alias("sig"),
+    )
+
+    banded = sig.select(
+        "id",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.md5(F.concat_ws(",", F.transform(
+                        F.slice(F.col("sig"), b * r + 1, r), lambda v: v.cast("string")
+                    ))).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("id", "sh", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+
+    l = banded.alias("l")
+    rt = banded.alias("r")
+    cand = (
+        l.join(
+            rt,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_l"),
+            F.col("r.id").alias("id_r"),
+            F.col("l.sh").alias("sh_l"),
+            F.col("r.sh").alias("sh_r"),
+        )
+        .dropDuplicates(["id_l", "id_r"])
+    )
+    return (
+        cand.select(
+            "id_l",
+            "id_r",
+            F.round(jaccard(F.col("sh_l"), F.col("sh_r")), 6).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text: Column, bits: int = 32) -> Column:
+    """SimHash: sign of the per-bit majority vote over token hashes.
+
+    Fold over the token array with a ``bits``-wide counter vector — single
+    projection, no explode, no UDF.
+    """
+    def pack(counters: Column) -> Column:
+        packed = F.lit(0).cast("long")
+        for b in range(bits):
+            packed = packed + F.when(
+                F.element_at(counters, b + 1) > 0, F.lit(1 << b)
+            ).otherwise(F.lit(0)).cast("long")
+        return packed
+
+    w = F.filter(F.split(normalize_text(text), " "), lambda x: x != "")
+    hashes = F.transform(w, portable_hash60)
+    return F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                    .otherwise(F.lit(-1))
+                    .cast("long")
+                    for b in range(bits)
+                ]
+            ),
+            lambda a, d: a + d,
+        ),
+        pack,  # finish fn: bit-pack the counter vector once
+    )
+
+
+def hamming(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with simhash hamming distance <= max_hamming.
+
+    Brute-force pair compare here; the scale path blocks on simhash bytes
+    (split the code into max_hamming+1 segments, pigeonhole: any pair within
+    distance d shares at least one exact segment) — same verification stage.
+    """
+    s = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh"))
+    l = s.alias("l")
+    r = s.alias("r")
+    return (
+        l.join(r, F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_l"),
+            F.col("r.id").alias("id_r"),
+            hamming(F.col("l.sh"), F.col("r.sh")).cast("int").alias("hamming_dist"),
+        )
+        .filter(F.col("hamming_dist") <= max_hamming)
+    )
+
+
+def simhash_pairs_blocked(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Scale path: pigeonhole blocking.  Split the simhash into
+    ``max_hamming+1`` segments; any pair within the hamming ball collides on
+    >=1 exact segment, so candidates come from a bucket join on
+    (segment_id, segment_value) instead of an n² compare."""
+    n_seg = max_hamming + 1
+    seg_bits = bits // n_seg
+    s = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh"))
+    segs = s.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seg_id"),
+                        F.shiftright(F.col("sh"), i * seg_bits)
+                        .bitwiseAND(F.lit((1 << seg_bits) - 1))
+                        .alias("seg_val"),
+                    )
+                    for i in range(n_seg)
+                ]
+            )
+        ).alias("seg"),
+    ).select("id", "sh", "seg.seg_id", "seg.seg_val")
+    l = segs.alias("l")
+    r = segs.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.seg_id") == F.col("r.seg_id"))
+            & (F.col("l.seg_val") == F.col("r.seg_val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_l"),
+            F.col("r.id").alias("id_r"),
+            hamming(F.col("l.sh"), F.col("r.sh")).cast("int").alias("hamming_dist"),
+        )
+        .dropDuplicates(["id_l", "id_r"])
+    )
+    return cand.filter(F.col("hamming_dist") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-dup pairs over embeddings (id_l < id_r), brute force.
+
+    The scale path buckets by LSH hyperplane signs first (see
+    similarity.hyperplane_bucket); this exact variant doubles as its oracle.
+    """
+    from ..functions.vectors import cosine
+
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    l = v.alias("l")
+    r = v.alias("r")
+    return (
+        l.join(r, F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_l"),
+            F.col("r.id").alias("id_r"),
+            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, both pure built-ins:
+
+  * ``cosine_topk``      — brute-force exact top-k: one scan, one narrow
+                           top-k reduce (Spark lowers orderBy+limit to
+                           TakeOrderedAndProject — no full sort at scale).
+  * ``hyperplane_lsh_*`` — bucketed approximate path: sign-bits against
+                           deterministic pseudo-random hyperplanes give an
+                           LSH bucket id; candidate sets come from a bucket
+                           equi-join (multi-probe: query also probes all
+                           1-bit-flip neighbor buckets), then exact cosine
+                           re-ranks.  This is the 100 TB plan: the shuffle
+                           key is the bucket id, and only bucket collisions
+                           are ever compared.
+
+Hyperplanes are derived from the portable md5 hash of (plane, dim) — no RNG,
+no driver-side state, reproducible on any engine (the DuckDB oracle rebuilds
+identical planes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, dot, vec_lit
+
+
+def hyperplane_weight(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random weight in [-1, 1): derived from md5, so
+    any engine reproduces it.  Mirrors functions.text.portable_hash60."""
+    import hashlib
+
+    h = int(hashlib.md5(f"plane{plane}|{dim}".encode()).hexdigest()[:15], 16)
+    return (h % 2000 - 1000) / 1000.0
+
+
+def hyperplanes(n_planes: int, n_dims: int) -> list[list[float]]:
+    return [[hyperplane_weight(p, d) for d in range(n_dims)] for p in range(n_planes)]
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket id: one sign bit per hyperplane, packed into a bigint."""
+    bits = [
+        F.when(dot(vec, vec_lit(w)) >= 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+        for p, w in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a query vector.
+
+    Ties broken by id ascending so results are deterministic.
+    """
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), vec_lit(query_vec)), 6).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: probe the query's LSH bucket (and, with
+    ``multiprobe``, every 1-bit-flip neighbor bucket), exact-rerank inside.
+
+    Recall rises with probes; cost stays ~ (probed buckets / 2^n_planes) of
+    the corpus.  At cluster scale the corpus is pre-bucketed once
+    (``add_lsh_buckets``) and the probe is a partition-pruned read.
+    """
+    n_dims = len(query_vec)
+    planes = hyperplanes(n_planes, n_dims)
+
+    # query bucket + neighbors, computed driver-side (tiny)
+    qbits = 0
+    for p, w in enumerate(planes):
+        s = sum(a * b for a, b in zip(query_vec, w))
+        if s >= 0:
+            qbits |= 1 << p
+    probes = [qbits]
+    if multiprobe:
+        probes += [qbits ^ (1 << p) for p in range(n_planes)]
+
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
+    ).filter(F.col("__bucket").isin(probes))
+
+    return (
+        bucketed.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), vec_lit(query_vec)), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def add_lsh_buckets(
+    df: DataFrame, vec_col: str = "embedding", n_planes: int = 8, n_dims: int | None = None
+) -> DataFrame:
+    """Persist-ready bucketed corpus: write partitioned by ``lsh_bucket`` so
+    queries prune to probed buckets at the file-scan level."""
+    if n_dims is None:
+        n_dims = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(n_planes, n_dims)
+    return df.withColumn("lsh_bucket", hyperplane_bucket(F.col(vec_col), planes))
