@@ -1,38 +1,856 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator family from SURVEY.md §2 plus the training-data operators
+(dedup / similarity / text analysis) gets a ``queries()`` entry implemented
+through the ksql_spark engine, paired with an exact DuckDB oracle in
+``oracle_sql()``.  All hashes used by signature-based operators are the
+md5-derived portable hash so both engines produce bit-identical results;
+doubles are rounded identically on both sides.
+
+The flagship (``entry`` and ``streaming_tumbling_changelog``) runs the real
+Structured Streaming path — CSAS persistent query, exactly-once sink,
+changelog state — and its oracle is plain batch SQL: streaming == batch is
+the core parity claim (BASELINE.json north_rule).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as Fn
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names}
+
+
+def _fmt(col):
+    return Fn.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+# ---------------------------------------------------------------------------
+# relational operators (builder API -> compile_select)
+# ---------------------------------------------------------------------------
+
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksql_spark import F, Literal, STREAM, Schema, Select, compile_select
+
+    src = _load(spark, sf_dir, "lineitem")
+    q = (
+        Select(
+            F("l_orderkey"),
+            F("l_linenumber"),
+            F("l_quantity"),
+            F("l_extendedprice").Mul(Literal(1).Sub(F("l_discount"))).Alias("net_price"),
+        )
+        .From(Schema("lineitem", STREAM))
+        .Where(F("l_quantity").Less(25), F("l_returnflag").Equal("R"))
+    )
+    df = compile_select(q, sources=src)
+    return df.withColumn("net_price", Fn.round("net_price", 4))
+
+
+def q_filter_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksql_spark import F, STREAM, Schema, Select, compile_select
+
+    src = _load(spark, sf_dir, "orders")
+    q = (
+        Select(F("o_orderkey"), F("o_orderpriority"), F("o_orderstatus"))
+        .From(Schema("orders", STREAM))
+        .Where(
+            F("o_orderpriority").In("1-URGENT", "2-HIGH"),
+            F("o_orderstatus").NotEqual("O"),
+            F("o_totalprice").IsNotNull(),
+        )
+    )
+    return compile_select(q, sources=src)
+
+
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksql_spark import Case, F, STREAM, Schema, Select, compile_select
+
+    src = _load(spark, sf_dir, "orders")
+    q = (
+        Select(
+            F("o_orderkey"),
+            Case()
+            .When(F("o_totalprice").Greater(300000), "high")
+            .When(F("o_totalprice").Greater(150000), "mid")
+            .Else("low")
+            .Alias("price_band"),
+        )
+        .From(Schema("orders", STREAM))
+    )
+    return compile_select(q, sources=src)
+
+
+def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksql_spark import Avg, Count, F, Max, Min, STREAM, Schema, Select, Sum, compile_select
+
+    src = _load(spark, sf_dir, "lineitem")
+    q = (
+        Select(
+            F("l_returnflag"),
+            F("l_linestatus"),
+            Sum(F("l_quantity")).Alias("sum_qty"),
+            Avg(F("l_extendedprice")).Alias("avg_price"),
+            Min(F("l_discount")).Alias("min_disc"),
+            Max(F("l_tax")).Alias("max_tax"),
+            Count(F("l_orderkey")).Alias("cnt"),
+        )
+        .From(Schema("lineitem", STREAM))
+        .GroupBy(F("l_returnflag"), F("l_linestatus"))
+        .EmitChanges()
+    )
+    df = compile_select(q, sources=src)
+    return df.select(
+        "l_returnflag",
+        "l_linestatus",
+        Fn.round("sum_qty", 4).alias("sum_qty"),
+        Fn.round("avg_price", 4).alias("avg_price"),
+        Fn.round("min_disc", 4).alias("min_disc"),
+        Fn.round("max_tax", 4).alias("max_tax"),
+        "cnt",
+    )
+
+
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksql_spark import Count, F, STREAM, Schema, Select, compile_select
+
+    src = _load(spark, sf_dir, "orders")
+    q = (
+        Select(F("o_custkey"), Count(F("o_orderkey")).Alias("n_orders"))
+        .From(Schema("orders", STREAM))
+        .GroupBy(F("o_custkey"))
+        .Having(Count(F("o_orderkey")).Greater(15))
+        .EmitChanges()
+    )
+    return compile_select(q, sources=src)
+
+
+def q_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksql_spark import F, STREAM, Schema, Select, compile_select
+
+    src = _load(spark, sf_dir, "orders")
+    q = (
+        Select(F("o_orderkey"), F("o_totalprice"))
+        .From(Schema("orders", STREAM))
+        .OrderBy(F("o_totalprice").Desc(), F("o_orderkey").Asc())
+        .Limit(10)
+    )
+    df = compile_select(q, sources=src)
+    return df.withColumn("o_totalprice", Fn.round("o_totalprice", 4))
+
+
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksql_spark import F, TABLE, Schema, Select, compile_select
+
+    src = _load(spark, sf_dir, "orders", "customer", "nation")
+    q = (
+        Select(F("o.o_orderkey"), F("c.c_name"), F("n.n_name"))
+        .From(Schema("orders", TABLE).As("o"))
+        .Join(Schema("customer", TABLE).As("c"), F("o.o_custkey").Equal(F("c.c_custkey")))
+        .Join(Schema("nation", TABLE).As("n"), F("c.c_nationkey").Equal(F("n.n_nationkey")))
+        .Where(F("o.o_totalprice").Greater(350000))
+    )
+    return compile_select(q, sources=src)
+
+
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksql_spark import Count, F, TABLE, Schema, Select, compile_select
+
+    src = _load(spark, sf_dir, "customer", "orders")
+    q = (
+        Select(F("c.c_custkey"), Count(F("o.o_orderkey")).Alias("n_orders"))
+        .From(Schema("customer", TABLE).As("c"))
+        .LeftJoin(Schema("orders", TABLE).As("o"), F("c.c_custkey").Equal(F("o.o_custkey")))
+        .GroupBy(F("c.c_custkey"))
+    )
+    return compile_select(q, sources=src)
+
+
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksql_spark import F, TABLE, Schema, Select, compile_select
+
+    src = _load(spark, sf_dir, "orders", "customer")
+    # RIGHT JOIN keeps all customers, with nulls for order columns
+    q = (
+        Select(F("c.c_custkey"), F("c.c_mktsegment"), F("o.o_orderkey"))
+        .From(Schema("orders", TABLE).As("o"))
+        .RightJoin(
+            Schema("customer", TABLE).As("c"),
+            F("o.o_custkey").Equal(F("c.c_custkey")),
+        )
+        .Where(F("c.c_acctbal").Less(-900))
+    )
+    return compile_select(q, sources=src)
+
+
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksql_spark import F, TABLE, Schema, Select, compile_select
+
+    src = _load(spark, sf_dir, "customer", "supplier")
+    c = src["customer"].groupBy("c_nationkey").agg(Fn.count(Fn.lit(1)).alias("n_cust"))
+    s = src["supplier"].groupBy("s_nationkey").agg(Fn.count(Fn.lit(1)).alias("n_supp"))
+    q = (
+        Select(F("c.c_nationkey"), F("c.n_cust"), F("s.s_nationkey"), F("s.n_supp"))
+        .From(Schema("cust_agg", TABLE).As("c"))
+        .OuterJoin(Schema("supp_agg", TABLE).As("s"), F("c.c_nationkey").Equal(F("s.s_nationkey")))
+    )
+    return compile_select(q, sources={"cust_agg": c, "supp_agg": s})
+
+
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksql_spark import F, TABLE, Schema, Select, compile_select
+
+    src = _load(spark, sf_dir, "region", "nation")
+    q = (
+        Select(F("r.r_name"), F("n.n_name"))
+        .From(Schema("region", TABLE).As("r"))
+        .CrossJoin(Schema("nation", TABLE).As("n"))
+    )
+    return compile_select(q, sources=src)
+
+
+def q_multi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksql_spark import F, Sum, TABLE, Schema, Select, compile_select
+
+    src = _load(spark, sf_dir, "orders", "customer", "nation", "region")
+    q = (
+        Select(F("r.r_name"), F("n.n_name"), Sum(F("o.o_totalprice")).Alias("revenue"))
+        .From(Schema("orders", TABLE).As("o"))
+        .Join(Schema("customer", TABLE).As("c"), F("o.o_custkey").Equal(F("c.c_custkey")))
+        .Join(Schema("nation", TABLE).As("n"), F("c.c_nationkey").Equal(F("n.n_nationkey")))
+        .Join(Schema("region", TABLE).As("r"), F("n.n_regionkey").Equal(F("r.r_regionkey")))
+        .GroupBy(F("r.r_name"), F("n.n_name"))
+    )
+    df = compile_select(q, sources=src)
+    return df.withColumn("revenue", Fn.round("revenue", 2))
+
+
+def q_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksql_spark import Count, F, TABLE, Schema, Select, compile_select
+
+    src = _load(spark, sf_dir, "orders", "customer")
+    big = (
+        Select(F("o_orderkey"), F("o_custkey"))
+        .From(Schema("orders", TABLE))
+        .Where(F("o_totalprice").Greater(250000))
+    )
+    q = (
+        Select(F("c.c_mktsegment"), Count(F("b.o_orderkey")).Alias("n_big"))
+        .With("big_orders", big)
+        .From(Schema("big_orders", TABLE).As("b"))
+        .Join(Schema("customer", TABLE).As("c"), F("b.o_custkey").Equal(F("c.c_custkey")))
+        .GroupBy(F("c.c_mktsegment"))
+    )
+    return compile_select(q, sources=src)
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksql_spark import F, TABLE, Schema, Select, compile_select
+
+    src = _load(spark, sf_dir, "lineitem")
+    q = (
+        Select(F("l_returnflag"), F("l_linestatus"))
+        .From(Schema("lineitem", TABLE))
+        .GroupBy(F("l_returnflag"), F("l_linestatus"))
+    )
+    return compile_select(q, sources=src)
+
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _load(spark, sf_dir, "customer")
+    # closed scalar-function registry exposure (SURVEY.md §2.2): upper/lower/
+    # concat/substr/length — plain JVM built-ins through the engine's RawColumn
+    from ksql_spark import F, RawColumn, TABLE, Schema, Select, compile_select
+
+    q = Select(
+        F("c_custkey"),
+        RawColumn(Fn.upper(Fn.col("c_name")), "name_upper"),
+        RawColumn(Fn.lower(Fn.col("c_mktsegment")), "seg_lower"),
+        RawColumn(Fn.substring(Fn.col("c_name"), 1, 8), "name_prefix"),
+        RawColumn(Fn.length(Fn.col("c_name")).cast("bigint"), "name_len"),
+        RawColumn(Fn.concat(Fn.col("c_mktsegment"), Fn.lit("#"), Fn.col("c_name")), "tagged"),
+    ).From(Schema("customer", TABLE))
+    return compile_select(q, sources=src)
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _load(spark, sf_dir, "events")
+    return src["events"].select(
+        "event_id",
+        Fn.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregate-function parity (events table)
+# ---------------------------------------------------------------------------
+
+
+def q_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksql_spark import CollectList, F, STREAM, Schema, Select, compile_select
+
+    src = _load(spark, sf_dir, "lineitem")
+    q = (
+        Select(F("l_orderkey"), CollectList(F("l_linenumber")).Alias("line_numbers"))
+        .From(Schema("lineitem", STREAM))
+        .GroupBy(F("l_orderkey"))
+        .EmitChanges()
+    )
+    return compile_select(q, sources=src)
+
+
+def q_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksql_spark import CollectSet, F, STREAM, Schema, Select, compile_select
+
+    src = _load(spark, sf_dir, "events")
+    q = (
+        Select(F("user_id"), CollectSet(F("event_type")).Alias("types"))
+        .From(Schema("events", STREAM))
+        .GroupBy(F("user_id"))
+        .EmitChanges()
+    )
+    return compile_select(q, sources=src)
+
+
+def q_latest_by_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksql_spark import F, LatestByOffset, STREAM, Schema, Select, compile_select
+
+    src = _load(spark, sf_dir, "events")
+    q = (
+        Select(
+            F("user_id"),
+            LatestByOffset(F("event_type"), order_by=[F("ts"), F("event_id")]).Alias("last_type"),
+        )
+        .From(Schema("events", STREAM))
+        .GroupBy(F("user_id"))
+        .EmitChanges()
+    )
+    return compile_select(q, sources=src)
+
+
+def q_earliest_by_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksql_spark import EarliestByOffset, F, STREAM, Schema, Select, compile_select
+
+    src = _load(spark, sf_dir, "events")
+    q = (
+        Select(
+            F("user_id"),
+            EarliestByOffset(F("event_type"), order_by=[F("ts"), F("event_id")]).Alias(
+                "first_type"
+            ),
+        )
+        .From(Schema("events", STREAM))
+        .GroupBy(F("user_id"))
+        .EmitChanges()
+    )
+    return compile_select(q, sources=src)
+
+
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksql_spark import F, RawColumn, STREAM, Schema, Select, TopK, compile_select
+
+    src = _load(spark, sf_dir, "events")
+    q = (
+        Select(
+            F("user_id"),
+            TopK(RawColumn(Fn.round(Fn.col("value"), 4)), 3).Alias("top_vals"),
+        )
+        .From(Schema("events", STREAM))
+        .GroupBy(F("user_id"))
+        .EmitChanges()
+    )
+    return compile_select(q, sources=src)
+
+
+def q_topk_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksql_spark import F, STREAM, Schema, Select, TopKDistinct, compile_select
+
+    src = _load(spark, sf_dir, "events")
+    q = (
+        Select(F("user_id"), TopKDistinct(F("event_type"), 2).Alias("top_types"))
+        .From(Schema("events", STREAM))
+        .GroupBy(F("user_id"))
+        .EmitChanges()
+    )
+    return compile_select(q, sources=src)
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksql_spark import F, Histogram, STREAM, Schema, Select, compile_select
+
+    src = _load(spark, sf_dir, "events")
+    q = (
+        Select(F("user_id"), Histogram(F("event_type"), 3).Alias("hist"))
+        .From(Schema("events", STREAM))
+        .GroupBy(F("user_id"))
+        .EmitChanges()
+    )
+    df = compile_select(q, sources=src)
+    # explode the capped value->count map to rows (order-insensitive compare)
+    return df.select("user_id", Fn.explode("hist").alias("event_type", "cnt"))
+
+
+# ---------------------------------------------------------------------------
+# windows (batch parity; streaming parity in streaming_tumbling_changelog)
+# ---------------------------------------------------------------------------
+
+
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksql_spark import Count, F, STREAM, Schema, Select, Sum, TimeUnit, TumblingWindow, compile_select
+
+    src = _load(spark, sf_dir, "events")
+    q = (
+        Select(F("event_type"), Count(F("event_id")).Alias("cnt"), Sum(F("value")).Alias("sum_val"))
+        .From(Schema("events", STREAM))
+        .WindowedBy(TumblingWindow(1, TimeUnit.HOURS))
+        .GroupBy(F("event_type"))
+    )
+    df = compile_select(q, sources=src, event_time="ts")
+    return df.select(
+        _fmt("window_start").alias("window_start"),
+        "event_type",
+        "cnt",
+        Fn.round("sum_val", 4).alias("sum_val"),
+    )
+
+
+def q_window_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksql_spark import Count, F, HoppingWindow, STREAM, Schema, Select, TimeUnit, compile_select
+
+    src = _load(spark, sf_dir, "events")
+    q = (
+        Select(F("event_type"), Count(F("event_id")).Alias("cnt"))
+        .From(Schema("events", STREAM))
+        .WindowedBy(HoppingWindow(60, 30, TimeUnit.MINUTES))
+        .GroupBy(F("event_type"))
+    )
+    df = compile_select(q, sources=src, event_time="ts")
+    return df.select(_fmt("window_start").alias("window_start"), "event_type", "cnt")
+
+
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksql_spark import Count, F, STREAM, Schema, SessionWindow, Select, TimeUnit, compile_select
+
+    src = _load(spark, sf_dir, "events")
+    q = (
+        Select(F("user_id"), Count(F("event_id")).Alias("cnt"))
+        .From(Schema("events", STREAM))
+        .WindowedBy(SessionWindow(30, TimeUnit.MINUTES))
+        .GroupBy(F("user_id"))
+    )
+    df = compile_select(q, sources=src, event_time="ts")
+    return df.select(
+        Fn.unix_micros(Fn.col("window_start").cast("timestamp")).alias("session_start_us"),
+        Fn.unix_micros(Fn.col("window_end").cast("timestamp")).alias("session_end_us"),
+        "user_id",
+        "cnt",
+    )
+
+
+# ---------------------------------------------------------------------------
+# the real streaming path (flagship)
+# ---------------------------------------------------------------------------
+
+
+def streaming_tumbling_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSAS persistent query over the events stream: tumbling 1h counts by
+    event_type through the exactly-once changelog sink; returns the
+    materialized QUERYABLE state.  Oracle is plain batch SQL — proving
+    streaming == batch row-for-row."""
+    from ksql_spark import (
+        TABLE,
+        Catalog,
+        Count,
+        Create,
+        F,
+        STREAM,
+        Schema,
+        Select,
+        Sum,
+        TimeUnit,
+        TumblingWindow,
+    )
+    from ksql_spark.streaming.engine import PersistentQueryManager
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    work = tempfile.mkdtemp(prefix="ksql_driver_")
+    cat = Catalog(spark, root=os.path.join(work, "catalog"))
+    cat.register_parquet(
+        "events",
+        os.path.join(sf_dir, "events.parquet"),
+        ref=STREAM,
+        event_time_col="ts",
+        event_order_cols=["ts", "event_id"],
+    )
+    mgr = PersistentQueryManager(
+        spark, cat, workdir=os.path.join(work, "engine"), grace="365 days", enable_metrics=False
+    )
+    csas = Create(TABLE, "hourly_stats").AsSelect(
+        Select(
+            F("event_type"),
+            Count(F("event_id")).Alias("cnt"),
+            Sum(F("value")).Alias("sum_val"),
+        )
+        .From(Schema("events", STREAM))
+        .WindowedBy(TumblingWindow(1, TimeUnit.HOURS))
+        .GroupBy(F("event_type"))
+        .EmitChanges()
+    )
+    mgr.create_as_select(csas, available_now=True, await_termination=True)
+    state = cat.read("QUERYABLE_hourly_stats")
+    return state.select(
+        _fmt("window_start").alias("window_start"),
+        "event_type",
+        "cnt",
+        Fn.round("sum_val", 4).alias("sum_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data operators
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksql_spark.functions.text import (
+        fingerprint,
+        lang_id,
+        quality_score,
+        token_count_bpe,
+        token_count_ws,
+    )
+
+    src = _load(spark, sf_dir, "documents")
+    return src["documents"].select(
+        "doc_id",
+        token_count_ws(Fn.col("text")).alias("tok_ws"),
+        token_count_bpe(Fn.col("text")).alias("tok_bpe"),
+        lang_id(Fn.col("text")).alias("lang_pred"),
+        Fn.round(quality_score(Fn.col("text")), 6).alias("quality"),
+        fingerprint(Fn.col("text")).alias("fp"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksql_spark.operators.dedup import exact_dedup
+
+    src = _load(spark, sf_dir, "documents")
+    return exact_dedup(src["documents"])
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksql_spark.operators.dedup import ngram_jaccard_pairs
+
+    src = _load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(src["documents"], shingle_n=3, threshold=0.7)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksql_spark.operators.dedup import minhash_lsh_pairs
+
+    src = _load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        src["documents"], n_hashes=32, bands=16, shingle_n=3, threshold=0.7
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksql_spark.operators.dedup import simhash_pairs_blocked
+
+    src = _load(spark, sf_dir, "documents")
+    return simhash_pairs_blocked(src["documents"], bits=32, max_hamming=3)
+
+
+def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksql_spark.operators.similarity import cosine_topk
+
+    src = _load(spark, sf_dir, "embeddings")
+    emb = src["embeddings"]
+    query = list(emb.filter(Fn.col("vec_id") == 0).first()["embedding"])
+    return cosine_topk(emb.filter(Fn.col("vec_id") != 0), query, k=10)
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksql_spark.operators.dedup import embedding_neardup_pairs
+
+    src = _load(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(src["embeddings"], threshold=0.9)
+
+
+def q_embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate path: bucketed ANN with multi-probe; no SQL oracle (the
+    # driver records a rows-only check) — exact parity for the bucketing
+    # math is covered by tests/test_similarity.py
+    from ksql_spark.operators.similarity import lsh_topk
+
+    src = _load(spark, sf_dir, "embeddings")
+    emb = src["embeddings"]
+    query = list(emb.filter(Fn.col("vec_id") == 0).first()["embedding"])
+    return lsh_topk(emb.filter(Fn.col("vec_id") != 0), query, k=10, n_planes=8)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mapInPandas plumbing with deterministic stub decode; rows-only check
+    from ksql_spark.operators.multimodal import extract_features, synthesize_media
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    media = synthesize_media(spark, n=64, seed=42)
+    feats = extract_features(media, decode_stub=True)
+    return feats.select("media_id", "kind", "n_bytes", Fn.round(Fn.element_at("features", 1), 6).alias("f0"))
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the real streaming engine at sf0.001."""
+    return streaming_tumbling_changelog(spark, DEFAULT_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "filter_project": q_filter_project,
+        "filter_in_null": q_filter_in_null,
+        "case_when": q_case_when,
+        "groupby_agg": q_groupby_agg,
+        "having": q_having,
+        "orderby_limit": q_orderby_limit,
+        "join_inner": q_join_inner,
+        "join_left": q_join_left,
+        "join_right": q_join_right,
+        "join_full_outer": q_join_full_outer,
+        "cross_join": q_cross_join,
+        "multi_join_revenue": q_multi_join_revenue,
+        "cte": q_cte,
+        "distinct": q_distinct,
+        "scalar_funcs": q_scalar_funcs,
+        "json_extract": q_json_extract,
+        "collect_list": q_collect_list,
+        "collect_set": q_collect_set,
+        "latest_by_offset": q_latest_by_offset,
+        "earliest_by_offset": q_earliest_by_offset,
+        "topk": q_topk,
+        "topk_distinct": q_topk_distinct,
+        "histogram": q_histogram,
+        "window_tumbling": q_window_tumbling,
+        "window_hopping": q_window_hopping,
+        "window_session": q_window_session,
+        "streaming_tumbling_changelog": streaming_tumbling_changelog,
+        "text_stats": q_text_stats,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "embed_cosine_topk": q_embed_cosine_topk,
+        "embed_neardup": q_embed_neardup,
+        "embed_lsh_ann": q_embed_lsh_ann,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    from ksql_spark.functions.text import (
+        SQL_TOKEN_BPE,
+        SQL_TOKEN_WS,
+        sql_fingerprint,
+        sql_lang_id,
+        sql_quality_score,
+    )
+    from ksql_spark.oracles import (
+        sql_embed_cosine_topk,
+        sql_embed_neardup,
+        sql_minhash_pairs,
+        sql_ngram_jaccard_pairs,
+        sql_simhash_pairs,
+    )
+
+    tumbling_sql = """
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(event_id) AS cnt, round(sum(value), 4) AS sum_val
+        FROM events GROUP BY 1, 2
     """
-    return {}
+    return {
+        "filter_project": """
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   round(l_extendedprice * (1 - l_discount), 4) AS net_price
+            FROM lineitem WHERE l_quantity < 25 AND l_returnflag = 'R'
+        """,
+        "filter_in_null": """
+            SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+              AND o_orderstatus != 'O' AND o_totalprice IS NOT NULL
+        """,
+        "case_when": """
+            SELECT o_orderkey,
+                   CASE WHEN o_totalprice > 300000 THEN 'high'
+                        WHEN o_totalprice > 150000 THEN 'mid'
+                        ELSE 'low' END AS price_band
+            FROM orders
+        """,
+        "groupby_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(min(l_discount), 4) AS min_disc,
+                   round(max(l_tax), 4) AS max_tax,
+                   count(l_orderkey) AS cnt
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "having": """
+            SELECT o_custkey, count(o_orderkey) AS n_orders
+            FROM orders GROUP BY o_custkey HAVING count(o_orderkey) > 15
+        """,
+        "orderby_limit": """
+            SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "join_inner": """
+            SELECT o.o_orderkey, c.c_name, n.n_name
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_totalprice > 350000
+        """,
+        "join_left": """
+            SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey
+        """,
+        "join_right": """
+            SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey
+            FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_acctbal < -900
+        """,
+        "join_full_outer": """
+            WITH c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1),
+                 s AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1)
+            SELECT c.c_nationkey, c.n_cust, s.s_nationkey, s.n_supp
+            FROM c FULL OUTER JOIN s ON c.c_nationkey = s.s_nationkey
+        """,
+        "cross_join": "SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n",
+        "multi_join_revenue": """
+            SELECT r.r_name, n.n_name, round(sum(o.o_totalprice), 2) AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name, n.n_name
+        """,
+        "cte": """
+            WITH big_orders AS (
+                SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 250000
+            )
+            SELECT c.c_mktsegment, count(b.o_orderkey) AS n_big
+            FROM big_orders b JOIN customer c ON b.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+        "scalar_funcs": """
+            SELECT c_custkey, upper(c_name) AS name_upper, lower(c_mktsegment) AS seg_lower,
+                   substr(c_name, 1, 8) AS name_prefix, length(c_name)::bigint AS name_len,
+                   c_mktsegment || '#' || c_name AS tagged
+            FROM customer
+        """,
+        "json_extract": """
+            SELECT event_id, (props::json ->> 'k')::bigint AS prop_k FROM events
+        """,
+        "collect_list": """
+            SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS line_numbers
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "collect_set": """
+            SELECT user_id, list(DISTINCT event_type ORDER BY event_type) AS types
+            FROM events GROUP BY user_id
+        """,
+        "latest_by_offset": """
+            SELECT user_id, event_type AS last_type FROM (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+                FROM events) WHERE rn = 1
+        """,
+        "earliest_by_offset": """
+            SELECT user_id, event_type AS first_type FROM (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) rn
+                FROM events) WHERE rn = 1
+        """,
+        "topk": """
+            SELECT user_id,
+                   list_slice(list(round(value, 4) ORDER BY round(value, 4) DESC), 1, 3) AS top_vals
+            FROM events GROUP BY user_id
+        """,
+        "topk_distinct": """
+            SELECT user_id,
+                   list_slice(list(DISTINCT event_type ORDER BY event_type DESC), 1, 2) AS top_types
+            FROM events GROUP BY user_id
+        """,
+        "histogram": """
+            SELECT user_id, event_type, cnt FROM (
+                SELECT user_id, event_type, count(*) AS cnt,
+                       row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type ASC) rn
+                FROM events GROUP BY user_id, event_type) WHERE rn <= 3
+        """,
+        "window_tumbling": tumbling_sql,
+        "window_hopping": """
+            SELECT strftime(time_bucket(INTERVAL '30 minutes', ts) - (i * INTERVAL '30 minutes'),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, count(event_id) AS cnt
+            FROM events, range(2) r(i)
+            GROUP BY 1, 2
+        """,
+        "window_session": """
+            WITH o AS (
+                SELECT user_id, ts, event_id,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                FROM events),
+            m AS (
+                SELECT user_id, ts, event_id,
+                       sum(CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '30 minutes'
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+                FROM o)
+            SELECT epoch_us(min(ts)) AS session_start_us,
+                   epoch_us(max(ts) + INTERVAL '30 minutes') AS session_end_us,
+                   user_id, count(event_id) AS cnt
+            FROM m GROUP BY user_id, sess
+        """,
+        "streaming_tumbling_changelog": tumbling_sql,
+        "text_stats": f"""
+            SELECT doc_id,
+                   {SQL_TOKEN_WS.format(c='text')} AS tok_ws,
+                   {SQL_TOKEN_BPE.format(c='text')} AS tok_bpe,
+                   {sql_lang_id('text')} AS lang_pred,
+                   round({sql_quality_score('text')}, 6) AS quality,
+                   {sql_fingerprint('text')} AS fp
+            FROM documents
+        """,
+        "dedup_exact": f"""
+            SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM documents GROUP BY {sql_fingerprint('text')}
+        """,
+        "dedup_ngram_jaccard": sql_ngram_jaccard_pairs(shingle_n=3, threshold=0.7),
+        "dedup_minhash_lsh": sql_minhash_pairs(shingle_n=3, threshold=0.7),
+        "dedup_simhash": sql_simhash_pairs(bits=32, max_hamming=3),
+        "embed_cosine_topk": sql_embed_cosine_topk(k=10),
+        "embed_neardup": sql_embed_neardup(threshold=0.9),
+        # embed_lsh_ann: approximate — rows-only check (by design)
+        # multimodal_features: mapInPandas stub — rows-only check (by design)
+    }

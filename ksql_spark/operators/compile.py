@@ -40,6 +40,19 @@ from ..expr import (
 DEFAULT_GRACE = "10 minutes"
 
 
+def _normalize_event_time(df: DataFrame, ts_col: str | None) -> DataFrame:
+    """Cast a TIMESTAMP_NTZ event-time column to TIMESTAMP (instant).
+
+    Parquet written without isAdjustedToUTC reads back as NTZ; watermarks
+    and streaming state require instant semantics.  Sessions run with
+    spark.sql.session.timeZone=UTC (session.py), so the cast is the
+    deterministic naive-as-UTC interpretation.
+    """
+    if ts_col and dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 class CompileContext:
     """Per-compilation state: source resolution + event-time metadata."""
 
@@ -208,6 +221,7 @@ def compile_select(
     df = ctx.resolve(sb.from_expr)
     ts_col = ctx.resolve_event_time(sb.from_expr, df)
     order_cols = ctx.resolve_event_order(sb.from_expr, df)
+    df = _normalize_event_time(df, ts_col)
 
     left_is_stream = sb.from_expr.ref == Ref.STREAM
 
@@ -221,6 +235,7 @@ def compile_select(
     # -- joins (left-deep, SURVEY.md §2.3) ---------------------------------
     for j in sb.joins:
         right = ctx.resolve(j.source)
+        right = _normalize_event_time(right, ctx.resolve_event_time(j.source, right))
         right_rel = ctx.relation_meta(j.source)
         right_is_stream = j.source.ref == Ref.STREAM
 

@@ -1,0 +1,101 @@
+"""DuckDB oracle-SQL generators for the signature-based operators.
+
+These produce ANSI-ish SQL that recomputes the exact same signatures as the
+Spark operators in ``ksql_spark.operators.dedup`` / ``similarity`` — same
+normalization, same shingling, same md5-derived 60-bit hash, same fold
+order — so the driver's value-hash comparison passes bit-for-bit.
+
+Each generator mirrors one Spark function; keep them in lockstep:
+  sql_ngram_jaccard_pairs <-> dedup.ngram_jaccard_pairs
+  sql_minhash_pairs       <-> dedup.minhash_lsh_pairs (semantic oracle:
+                              LSH + exact verification == brute-force
+                              exact Jaccard, given banding recall ~1 at the
+                              configured threshold)
+  sql_simhash_pairs       <-> dedup.simhash_pairs_blocked
+  sql_embed_cosine_topk   <-> similarity.cosine_topk
+  sql_embed_neardup       <-> dedup.embedding_neardup_pairs
+"""
+
+from __future__ import annotations
+
+from .functions.text import SQL_NORMALIZE
+from .functions.vectors import SQL_DOT, SQL_NORM
+
+# shingle set of the normalized text, n-gram over words, distinct —
+# mirrors dedup.word_shingles (docs shorter than n contribute one shingle)
+def _sql_shingles(c: str, n: int) -> str:
+    words = f"string_split({SQL_NORMALIZE.format(c=c)}, ' ')"
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({words}) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string({words}[i:i+{n - 1}], ' ')))"
+    )
+
+
+def _sql_jaccard(a: str, b: str) -> str:
+    return (
+        f"(CASE WHEN len(list_distinct(list_concat({a}, {b}))) > 0 "
+        f"THEN len(list_intersect({a}, {b}))::double / "
+        f"len(list_distinct(list_concat({a}, {b}))) ELSE 0.0 END)"
+    )
+
+
+def sql_ngram_jaccard_pairs(shingle_n: int = 3, threshold: float = 0.7) -> str:
+    sh = _sql_shingles("text", shingle_n)
+    return f"""
+        WITH d AS (SELECT doc_id, {sh} AS sh FROM documents)
+        SELECT l.doc_id AS id_l, r.doc_id AS id_r,
+               round({_sql_jaccard('l.sh', 'r.sh')}, 6) AS jaccard_sim
+        FROM d l JOIN d r ON l.doc_id < r.doc_id
+        WHERE {_sql_jaccard('l.sh', 'r.sh')} >= {threshold}
+    """
+
+
+def sql_minhash_pairs(shingle_n: int = 3, threshold: float = 0.7) -> str:
+    # semantic oracle: exact near-dup pairs.  The Spark side reaches the
+    # same set via MinHash-LSH candidates + exact-Jaccard verification;
+    # with r=2/b=16 banding, recall at the data's observed similarity
+    # (>=0.9) is 1 - (1 - 0.81)^16 ~ 1 - 3e-12.
+    return sql_ngram_jaccard_pairs(shingle_n=shingle_n, threshold=threshold)
+
+
+def sql_simhash_pairs(bits: int = 32, max_hamming: int = 3) -> str:
+    words = f"list_filter(string_split({SQL_NORMALIZE.format(c='text')}, ' '), w -> w != '')"
+    hashes = f"list_transform({words}, s -> ('0x' || substr(md5(s), 1, 15))::bigint)"
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+        WITH h AS (SELECT doc_id, {hashes} AS hs FROM documents),
+             s AS (SELECT doc_id, ({bit_terms})::bigint AS sim FROM h)
+        SELECT l.doc_id AS id_l, r.doc_id AS id_r,
+               bit_count(xor(l.sim, r.sim))::int AS hamming_dist
+        FROM s l JOIN s r ON l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.sim, r.sim)) <= {max_hamming}
+    """
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    d = f"({SQL_NORM.format(a=a)} * {SQL_NORM.format(a=b)})"
+    return f"(CASE WHEN {d} > 0 THEN {SQL_DOT.format(a=a, b=b)} / {d} ELSE 0.0 END)"
+
+
+def sql_embed_cosine_topk(k: int = 10) -> str:
+    cos = _sql_cosine("e.embedding", "q.embedding")
+    return f"""
+        SELECT e.vec_id, round({cos}, 6) AS cosine_sim
+        FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id != 0
+        ORDER BY cosine_sim DESC, e.vec_id ASC LIMIT {k}
+    """
+
+
+def sql_embed_neardup(threshold: float = 0.9) -> str:
+    cos = _sql_cosine("l.embedding", "r.embedding")
+    return f"""
+        SELECT l.vec_id AS id_l, r.vec_id AS id_r, round({cos}, 6) AS cosine_sim
+        FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+        WHERE {cos} >= {threshold}
+    """

@@ -219,10 +219,22 @@ class Catalog:
         if rel.format == "iceberg":
             return self.spark.readStream.format("iceberg").load(rel.path)
         schema = rel.schema or self.spark.read.parquet(self._data_glob(rel)).schema
+        path = self._data_glob(rel)
+        if os.path.isfile(path):
+            # Spark's file stream source requires a directory; stage single
+            # parquet files behind a symlink dir (zero-copy)
+            import tempfile
+
+            staged = rel.metadata.get("__staged_dir")
+            if staged is None or not os.path.isdir(staged):
+                staged = tempfile.mkdtemp(prefix=f"ksql_stream_{rel.name.lower()}_")
+                os.symlink(os.path.abspath(path), os.path.join(staged, os.path.basename(path)))
+                rel.metadata["__staged_dir"] = staged
+            path = staged
         return (
             self.spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", rel.metadata.get("max_files_per_trigger", 16))
-            .parquet(self._data_glob(rel))
+            .parquet(path)
         )
 
     def _data_glob(self, rel: Relation) -> str:
