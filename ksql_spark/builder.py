@@ -234,6 +234,10 @@ class SelectBuilder:
         is_stream = self.from_expr.ref == Ref.STREAM
         is_table = self.from_expr.ref == Ref.TABLE
 
+        # (5) EMIT FINAL only valid with a windowed aggregate — checked first
+        # so the specific error wins over rule (1) (select_builder.go:164-169)
+        if self.emit == EmitMode.FINAL and self.window is None:
+            raise AnalysisError("EMIT FINAL requires a WINDOW (select_builder.go:164-169)")
         # (1) GROUP BY on a STREAM requires a WINDOW unless EMIT CHANGES
         if is_stream and self.group_by and self.window is None and self.emit != EmitMode.CHANGES:
             raise AnalysisError(
@@ -252,9 +256,6 @@ class SelectBuilder:
         # (4) WINDOW not allowed on TABLE
         if is_table and self.window is not None:
             raise AnalysisError("WINDOW is not allowed on a TABLE (select_builder.go:156-161)")
-        # (5) EMIT FINAL only valid with a windowed aggregate (final-per-window)
-        if self.emit == EmitMode.FINAL and self.window is None:
-            raise AnalysisError("EMIT FINAL requires a WINDOW (select_builder.go:164-169)")
         # (6) mutual exclusivity enforced in EmitChanges/EmitFinal setters.
 
         # mixed agg/non-agg projection must group by the non-agg fields

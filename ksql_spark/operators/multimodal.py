@@ -114,8 +114,10 @@ def resize_images(df: DataFrame, max_side: int = 512, decode_stub: bool = True) 
         F.lit(1.0),
         F.lit(float(max_side)) / F.greatest(F.col("width"), F.col("height")).cast("double"),
     )
-    out = df.withColumn("target_width", F.ceil(F.col("width") * scale).cast("int")).withColumn(
-        "target_height", F.ceil(F.col("height") * scale).cast("int")
+    out = df.withColumn(
+        "target_width", F.greatest(F.lit(1), F.round(F.col("width") * scale).cast("int"))
+    ).withColumn(
+        "target_height", F.greatest(F.lit(1), F.round(F.col("height") * scale).cast("int"))
     )
     if not decode_stub:
         raise NotImplementedError("pixel resampling requires an image codec")

@@ -1,0 +1,176 @@
+"""Semantic rule-set tests.
+
+Mirrors the reference's builder rejection tests (select_builder_test.go:581+
+— GROUP BY on stream w/o window, HAVING w/o GROUP BY, etc.) as plan-time
+AnalysisError checks; same 6 select rules + 2 create rules + alias rules.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ksql_spark import (
+    STREAM,
+    TABLE,
+    AnalysisError,
+    Case,
+    Count,
+    Create,
+    F,
+    Insert,
+    KType,
+    Schema,
+    SchemaField,
+    Select,
+    TimeUnit,
+    TumblingWindow,
+)
+
+
+def test_groupby_on_stream_requires_window_unless_emit_changes():
+    q = Select(F("a"), Count(F("b")).Alias("c")).From(Schema("s", STREAM)).GroupBy(F("a"))
+    with pytest.raises(AnalysisError, match="WINDOW"):
+        q.validate()
+    q.EmitChanges()
+    q.validate()  # ok now
+
+
+def test_groupby_on_stream_with_window_ok():
+    q = (
+        Select(F("a"), Count(F("b")).Alias("c"))
+        .From(Schema("s", STREAM))
+        .WindowedBy(TumblingWindow(10, TimeUnit.SECONDS))
+        .GroupBy(F("a"))
+    )
+    q.validate()
+
+
+def test_having_requires_groupby():
+    q = Select(F("a")).From(Schema("s", STREAM)).Having(Count(F("b")).Greater(1))
+    with pytest.raises(AnalysisError, match="HAVING requires GROUP BY"):
+        q.validate()
+
+
+def test_aggregate_only_select_on_stream_requires_groupby():
+    q = Select(Count(F("b")).Alias("c")).From(Schema("s", STREAM)).EmitChanges()
+    with pytest.raises(AnalysisError, match="GROUP BY"):
+        q.validate()
+
+
+def test_window_not_allowed_on_table():
+    q = (
+        Select(F("a"), Count(F("b")).Alias("c"))
+        .From(Schema("t", TABLE))
+        .WindowedBy(TumblingWindow(10, TimeUnit.SECONDS))
+        .GroupBy(F("a"))
+    )
+    with pytest.raises(AnalysisError, match="TABLE"):
+        q.validate()
+
+
+def test_emit_final_requires_window():
+    q = (
+        Select(F("a"), Count(F("b")).Alias("c"))
+        .From(Schema("s", STREAM))
+        .GroupBy(F("a"))
+        .EmitFinal()
+    )
+    with pytest.raises(AnalysisError, match="EMIT FINAL"):
+        q.validate()
+
+
+def test_emit_modes_mutually_exclusive():
+    with pytest.raises(AnalysisError, match="mutually exclusive"):
+        Select(F("a")).From(Schema("s", STREAM)).EmitChanges().EmitFinal()
+    with pytest.raises(AnalysisError, match="mutually exclusive"):
+        Select(F("a")).From(Schema("s", STREAM)).EmitFinal().EmitChanges()
+
+
+def test_mixed_agg_plain_requires_groupby():
+    q = Select(F("a"), Count(F("b")).Alias("c")).From(Schema("t", TABLE))
+    with pytest.raises(AnalysisError, match="GROUP BY"):
+        q.validate()
+
+
+def test_derived_fields_must_be_aliased():
+    # aggregates (select_builder.go:779-782)
+    q = Select(F("a"), Count(F("b"))).From(Schema("t", TABLE)).GroupBy(F("a"))
+    with pytest.raises(AnalysisError, match="alias"):
+        q.validate()
+    # arithmetic
+    q2 = Select(F("a").Add(1)).From(Schema("t", TABLE))
+    with pytest.raises(AnalysisError, match="alias"):
+        q2.validate()
+    # CASE (case.go:81-83)
+    q3 = Select(Case().When(F("a").Greater(1), "x").Else("y")).From(Schema("t", TABLE))
+    with pytest.raises(AnalysisError, match="alias"):
+        q3.validate()
+
+
+def test_single_cte_limit():
+    sub = Select(F("a")).From(Schema("s", STREAM))
+    q = Select(F("a")).From(Schema("x", STREAM)).With("x", sub)
+    with pytest.raises(AnalysisError, match="one CTE"):
+        q.With("y", sub)
+
+
+def test_create_stream_from_table_rejected():
+    sel = Select(F("a")).From(Schema("t", TABLE))
+    cb = Create(STREAM, "out").AsSelect(sel)
+    with pytest.raises(AnalysisError, match="TABLE source"):
+        cb.validate()
+
+
+def test_create_table_from_unaggregated_stream_rejected():
+    sel = Select(F("a")).From(Schema("s", STREAM))
+    cb = Create(TABLE, "out").AsSelect(sel)
+    with pytest.raises(AnalysisError, match="aggregation"):
+        cb.validate()
+
+
+def test_create_table_requires_primary_key():
+    cb = Create(TABLE, "t").SchemaFields(SchemaField("id", KType.INT))
+    with pytest.raises(AnalysisError, match="PRIMARY KEY"):
+        cb.validate()
+    Create(TABLE, "t2").SchemaFields(SchemaField("id", KType.INT, is_primary=True)).validate()
+
+
+def test_insert_into_table_rejected():
+    with pytest.raises(AnalysisError, match="TABLE"):
+        Insert(TABLE, "t")
+
+
+def test_insert_nil_value_rejected():
+    # reference: nil values -> error (insert_builder_test.go)
+    ib = Insert(STREAM, "s")
+    with pytest.raises(AnalysisError, match="nil"):
+        ib.Rows({"a": None})
+
+
+def test_insert_requires_rows_xor_select():
+    ib = Insert(STREAM, "s")
+    with pytest.raises(AnalysisError):
+        ib.validate()
+
+
+def test_join_requires_on_condition():
+    from ksql_spark.builder import JoinKind, JoinSpec
+
+    with pytest.raises(AnalysisError, match="ON"):
+        JoinSpec(JoinKind.INNER, Schema("r", TABLE), None)
+
+
+def test_output_names_include_window_bounds():
+    q = (
+        Select(F("a"), Count(F("b")).Alias("cnt"))
+        .From(Schema("s", STREAM))
+        .WindowedBy(TumblingWindow(1, TimeUnit.MINUTES))
+        .GroupBy(F("a"))
+    )
+    assert q.output_names() == ["window_start", "window_end", "a", "cnt"]
+
+
+def test_negative_window_rejected():
+    # reference pins invalid negative window (select_builder_test.go:524)
+    with pytest.raises(AnalysisError, match="positive"):
+        TumblingWindow(-10, TimeUnit.SECONDS)

@@ -1,0 +1,82 @@
+"""Dedup operators: scale paths must equal their brute-force oracles."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as Fn
+
+from ksql_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+    simhash_pairs_blocked,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 1
+        (3, "The quick brown fox, jumps over the lazy dog today!"),  # normalizes to 1
+        (4, "the quick brown fox jumps over the lazy cat today"),  # near dup
+        (5, "completely different content about spark streaming engines"),
+        (6, "another unrelated document mentioning watermarks and state"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalized(spark, docs):
+    kept = exact_dedup(docs)
+    assert kept.count() == 4  # 1,2,3 collapse
+    groups = exact_dup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [1, 2, 3]
+    assert groups[0]["dup_count"] == 3
+
+
+def test_minhash_lsh_equals_bruteforce(spark, docs):
+    lsh = minhash_lsh_pairs(docs, n_hashes=32, bands=16, shingle_n=3, threshold=0.5)
+    bf = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5)
+    assert sorted(map(tuple, lsh.collect())) == sorted(map(tuple, bf.collect()))
+    # the exact-dup triple and the near-dup must be found
+    found = {(r.id_l, r.id_r) for r in lsh.collect()}
+    assert {(1, 2), (1, 3), (2, 3)} <= found
+    assert any(4 in p for p in found)
+
+
+def test_minhash_signature_properties(spark, docs):
+    sig = docs.select("doc_id", minhash_signature(Fn.col("text"), 16).alias("sig"))
+    rows = {r.doc_id: r.sig for r in sig.collect()}
+    assert all(len(s) == 16 for s in rows.values())
+    assert rows[1] == rows[2] == rows[3]  # identical after normalization
+    assert rows[1] != rows[5]
+
+
+def test_simhash_blocked_equals_bruteforce(spark, docs):
+    bf = simhash_pairs(docs, bits=32, max_hamming=6)
+    bl = simhash_pairs_blocked(docs, bits=32, max_hamming=6)
+    assert sorted(map(tuple, bf.collect())) == sorted(map(tuple, bl.collect()))
+
+
+def test_simhash_identical_docs_zero_distance(spark, docs):
+    s = docs.select("doc_id", simhash(Fn.col("text"), 32).alias("sh"))
+    rows = {r.doc_id: r.sh for r in s.collect()}
+    assert rows[1] == rows[2] == rows[3]
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),  # near dup of 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_neardup_pairs(df, threshold=0.95).collect()
+    assert [(r.id_l, r.id_r) for r in pairs] == [(1, 2)]

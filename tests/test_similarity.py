@@ -1,0 +1,52 @@
+"""Similarity search: exact top-k semantics + LSH bucketing determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as Fn
+
+from ksql_spark.operators.similarity import (
+    add_lsh_buckets,
+    cosine_topk,
+    hyperplane_weight,
+    hyperplanes,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_cosine_topk_self_first(spark, emb):
+    q = list(emb.filter(Fn.col("vec_id") == 3).first()["embedding"])
+    top = cosine_topk(emb, q, k=5).collect()
+    assert top[0]["vec_id"] == 3
+    assert top[0]["cosine_sim"] == pytest.approx(1.0)
+    sims = [r["cosine_sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_recall_at_1(spark, emb):
+    # the query vector itself must always be found via its own bucket
+    q = list(emb.filter(Fn.col("vec_id") == 7).first()["embedding"])
+    top = lsh_topk(emb, q, k=3, n_planes=8).collect()
+    assert top[0]["vec_id"] == 7
+    assert top[0]["cosine_sim"] == pytest.approx(1.0)
+
+
+def test_hyperplanes_deterministic():
+    assert hyperplane_weight(0, 0) == hyperplane_weight(0, 0)
+    p1 = hyperplanes(4, 8)
+    p2 = hyperplanes(4, 8)
+    assert p1 == p2
+    assert all(-1.0 <= w < 1.0 for row in p1 for w in row)
+
+
+def test_bucket_assignment_stable(spark, emb):
+    b1 = add_lsh_buckets(emb, n_planes=6).select("vec_id", "lsh_bucket")
+    b2 = add_lsh_buckets(emb, n_planes=6).select("vec_id", "lsh_bucket")
+    assert sorted(map(tuple, b1.collect())) == sorted(map(tuple, b2.collect()))
+    n_buckets = b1.select("lsh_bucket").distinct().count()
+    assert 1 < n_buckets <= 64

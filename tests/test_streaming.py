@@ -1,0 +1,197 @@
+"""Streaming-semantics tests (SURVEY.md §5 point 3).
+
+Deterministic micro-batch runs over the synthetic transcripts table with the
+availableNow trigger:
+  * windowed-aggregate changelog == batch recomputation, row-for-row,
+    per-turn text equality under stable turn ordering;
+  * kill mid-stream + resume from checkpoint -> no duplicates, no gaps;
+  * EMIT FINAL (append mode) emits only watermark-closed windows;
+  * per-partition lineage recorded atomically with every epoch.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as Fn
+
+from ksql_spark import (
+    STREAM,
+    TABLE,
+    Catalog,
+    Count,
+    Create,
+    F,
+    LatestByOffset,
+    Schema,
+    Select,
+    Sum,
+    TimeUnit,
+    TumblingWindow,
+)
+from ksql_spark.streaming.engine import PersistentQueryManager
+from ksql_spark.streaming.metrics import read_lineage
+
+
+@pytest.fixture()
+def engine(spark, workdir, transcripts):
+    path, _ = transcripts
+    cat = Catalog(spark, root=f"{workdir}/catalog")
+    cat.register_parquet(
+        "transcripts",
+        path,
+        ref=STREAM,
+        event_time_col="ts",
+        event_order_cols=["ts", "turn_idx"],
+        metadata={"max_files_per_trigger": 3},
+    )
+    return PersistentQueryManager(spark, cat, workdir=f"{workdir}/eng", grace="10 minutes")
+
+
+def batch_windowed(tdf):
+    return (
+        tdf.groupBy(Fn.window(Fn.col("ts"), "1 minute").alias("w"), "conv_id")
+        .agg(
+            Fn.count("turn_idx").alias("n_turns"),
+            Fn.max_by("text", Fn.struct("ts", "turn_idx")).alias("last_text"),
+        )
+        .select(
+            Fn.col("w.start").alias("window_start"),
+            Fn.col("w.end").alias("window_end"),
+            "conv_id",
+            "n_turns",
+            "last_text",
+        )
+    )
+
+
+def test_windowed_changelog_matches_batch(spark, engine, transcripts):
+    _, tdf = transcripts
+    csas = Create(TABLE, "win_stats").AsSelect(
+        Select(
+            F("conv_id"),
+            Count(F("turn_idx")).Alias("n_turns"),
+            LatestByOffset(F("text")).Alias("last_text"),
+        )
+        .From(Schema("transcripts", STREAM))
+        .WindowedBy(TumblingWindow(1, TimeUnit.MINUTES))
+        .GroupBy(F("conv_id"))
+        .EmitChanges()
+    )
+    engine.create_as_select(csas, available_now=True)
+    state = engine.catalog.read("QUERYABLE_win_stats")
+    a = sorted(map(tuple, state.collect()))
+    b = sorted(map(tuple, batch_windowed(tdf).collect()))
+    assert a == b  # per-turn text equality, no dupes, no gaps
+
+
+def test_kill_resume_exactly_once(spark, engine, transcripts):
+    _, tdf = transcripts
+    csas = Create(TABLE, "conv_totals").AsSelect(
+        Select(F("conv_id"), Count(F("turn_idx")).Alias("n"), Sum(F("turn_idx")).Alias("s"))
+        .From(Schema("transcripts", STREAM))
+        .GroupBy(F("conv_id"))
+        .EmitChanges()
+    )
+    pq = engine.create_as_select(csas, available_now=True, await_termination=False)
+    deadline = time.time() + 60
+    while not pq.sink.committed_batches() and time.time() < deadline:
+        time.sleep(0.1)
+    pq.streaming_query.stop()  # hard kill mid-stream
+    pq.streaming_query.awaitTermination()
+    pq.streaming_query = None
+    assert pq.sink.committed_batches(), "no epoch committed before kill"
+
+    engine.resume("conv_totals", available_now=True, await_termination=True)
+    state = engine.catalog.read("QUERYABLE_conv_totals")
+    a = sorted(map(tuple, state.collect()))
+    b = sorted(
+        map(
+            tuple,
+            tdf.groupBy("conv_id")
+            .agg(Fn.count("turn_idx").alias("n"), Fn.sum("turn_idx").alias("s"))
+            .collect(),
+        )
+    )
+    assert a == b  # exactly-once: no duplicates, no gaps after resume
+
+
+def test_redelivered_epoch_is_skipped(spark, engine, transcripts):
+    _, tdf = transcripts
+    csas = Create(TABLE, "idem").AsSelect(
+        Select(F("conv_id"), Count(F("turn_idx")).Alias("n"))
+        .From(Schema("transcripts", STREAM))
+        .GroupBy(F("conv_id"))
+        .EmitChanges()
+    )
+    pq = engine.create_as_select(csas, available_now=True)
+    before = engine.catalog.read("idem").count()
+    # simulate foreachBatch re-delivery of an already-committed epoch
+    first = pq.sink.committed_batches()[0]
+    pq.sink(tdf.limit(5).groupBy("conv_id").agg(Fn.count("*").alias("n")), first)
+    after = engine.catalog.read("idem").count()
+    assert before == after
+
+
+def test_emit_final_only_closed_windows(spark, engine, transcripts):
+    _, tdf = transcripts
+    csas = Create(TABLE, "finals").AsSelect(
+        Select(F("conv_id"), Count(F("turn_idx")).Alias("n"))
+        .From(Schema("transcripts", STREAM))
+        .WindowedBy(TumblingWindow(1, TimeUnit.MINUTES))
+        .GroupBy(F("conv_id"))
+        .EmitFinal()
+    )
+    engine.create_as_select(csas, available_now=True)
+    out = engine.catalog.read("finals").drop("__batch_id")
+    full = batch_windowed(tdf).select("window_start", "window_end", "conv_id", "n_turns")
+    emitted = {tuple(r) for r in out.select("window_start", "window_end", "conv_id", "n").collect()}
+    complete = {tuple(r) for r in full.collect()}
+    # append mode: emitted set is a subset of the complete result, each row
+    # emitted exactly once, and every emitted row is value-correct
+    assert emitted <= complete
+    assert out.count() == len(emitted)  # no duplicate finals
+    # windows well below the final watermark (max ts - grace) must be present
+    max_ts = tdf.agg(Fn.max("ts")).collect()[0][0]
+    closed = {
+        t for t in complete if (max_ts - t[1]).total_seconds() > 600  # beyond grace
+    }
+    assert closed <= emitted
+
+
+def test_lineage_and_metrics_recorded(spark, engine, transcripts):
+    csas = Create(TABLE, "lin").AsSelect(
+        Select(F("conv_id"), Count(F("turn_idx")).Alias("n"))
+        .From(Schema("transcripts", STREAM))
+        .GroupBy(F("conv_id"))
+        .EmitChanges()
+    )
+    pq = engine.create_as_select(csas, available_now=True)
+    lineage = read_lineage(pq.sink.commit_dir)
+    assert lineage, "no commit markers"
+    assert all("partitions" in e for e in lineage)
+    total = sum(e["rows"] or 0 for e in lineage)
+    assert total >= engine.catalog.read("QUERYABLE_lin").count()
+
+
+def test_filter_project_stream_append(spark, engine, transcripts):
+    _, tdf = transcripts
+    csas = Create(STREAM, "assistant_turns").AsSelect(
+        Select(F("conv_id"), F("turn_idx"), F("text"))
+        .From(Schema("transcripts", STREAM))
+        .Where(F("role").Equal("assistant"))
+        .EmitChanges()
+    )
+    engine.create_as_select(csas, available_now=True)
+    out = engine.catalog.read("assistant_turns")
+    a = sorted(map(tuple, out.select("conv_id", "turn_idx", "text").collect()))
+    b = sorted(
+        map(
+            tuple,
+            tdf.filter(Fn.col("role") == "assistant")
+            .select("conv_id", "turn_idx", "text")
+            .collect(),
+        )
+    )
+    assert a == b
