@@ -565,7 +565,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _load(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
-        src["documents"], n_hashes=32, bands=16, shingle_n=3, threshold=0.7
+        src["documents"], n_hashes=48, bands=16, shingle_n=3, threshold=0.7
     )
 
 

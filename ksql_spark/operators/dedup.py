@@ -32,6 +32,19 @@ from pyspark.sql import functions as F
 from ..functions.text import fingerprint, normalize_text, portable_hash60
 
 
+def _ensure_parallel(df: DataFrame, key_col: str) -> DataFrame:
+    """Repartition narrow inputs so per-row-heavy operators use all cores.
+
+    A single small parquet file scans as one partition; signature
+    computation (md5 per shingle/token) is CPU-bound and embarrassingly
+    parallel, so hash-spread it on the id before the heavy projection.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key_col))
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -76,27 +89,62 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     they still participate in dedup.
     """
     w = F.filter(F.split(normalize_text(text), " "), lambda x: x != "")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-    )
-    return F.array_distinct(grams)
+
+    def grams(wa: Column) -> Column:
+        # `wa` binds the words array ONCE per row; referencing `w` inside the
+        # inner lambda would re-run the whole regex/split chain per shingle
+        # (higher-order functions are interpreted, not codegen'd — that
+        # turns O(words) into O(words²) regex work)
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(wa) - (n - 1), F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(wa, i, n)),
+            )
+        )
+
+    return F.element_at(F.transform(F.array(w), grams), 1)
+
+
+M31 = 2147483647  # Mersenne prime 2^31-1: universal-hash modulus
+
+
+def _mix_consts(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_k, b_k) pairs for universal hashing, derived from
+    md5 so any engine can rebuild them."""
+    import hashlib
+
+    out = []
+    for k in range(n_hashes):
+        d = hashlib.md5(f"minhash{k}".encode()).hexdigest()
+        a = (int(d[:8], 16) % (M31 - 1)) + 1
+        b = int(d[8:16], 16) % M31
+        out.append((a, b))
+    return out
 
 
 def minhash_signature(text: Column, n_hashes: int = 32, shingle_n: int = 3) -> Column:
     """k-minhash signature as array<bigint>.
 
-    hash_k(s) = portable_hash60(k || '|' || s); the signature is the
-    element-wise min across the shingle set — one projection, no explode.
+    One md5 per shingle (the portable base hash, mod 2^31-1), then k cheap
+    universal-hash mixes ``(a_k*h + b_k) mod M31`` — all products stay under
+    2^62, no overflow on any engine.  The base-hash array is bound ONCE via
+    a single-element ``transform`` lambda so the md5 pass is not duplicated
+    per hash function (a 48x expression-evaluation win).
     """
     sh = word_shingles(text, shingle_n)
-    mins = [
-        F.array_min(
-            F.transform(sh, lambda s, k=k: portable_hash60(F.concat(F.lit(f"{k}|"), s)))
-        )
-        for k in range(n_hashes)
-    ]
-    return F.array(*mins)
+    base = F.transform(sh, lambda s: F.pmod(portable_hash60(s), F.lit(M31)))
+    consts = _mix_consts(n_hashes)
+
+    def mix(a: int, c: int):
+        # closure factory: pyspark counts default args as lambda parameters,
+        # so `lambda h, a=a` would become an invalid 2-arg HOF lambda
+        return lambda h: F.pmod(a * h + c, F.lit(M31))
+
+    def build(b: Column) -> Column:
+        return F.array(*[F.array_min(F.transform(b, mix(a, c))) for a, c in consts])
+
+    # bind `base` to a lambda variable -> evaluated once per row
+    return F.element_at(F.transform(F.array(base), build), 1)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -119,6 +167,7 @@ def ngram_jaccard_pairs(
     use ``minhash_lsh_pairs``, which bounds the compare set to LSH
     candidates.
     """
+    df = _ensure_parallel(df, id_col)
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
     )
@@ -161,15 +210,23 @@ def minhash_lsh_pairs(
         raise ValueError("n_hashes must be divisible by bands")
     r = n_hashes // bands
 
-    sig = df.select(
+    # spread per-row signature work across cores even when the source is a
+    # single file (locally) — at cluster scale the scan is already parallel
+    df = _ensure_parallel(df, id_col)
+
+    # one scan: shingles (wide, kept aside) + signature (narrow)
+    base = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_n).alias("sh"),
         minhash_signature(F.col(text_col), n_hashes, shingle_n).alias("sig"),
     )
+    shingles = base.select("id", "sh")
 
-    banded = sig.select(
+    # banding join stays NARROW: (id, band_id, band_hash) only — the wide
+    # shingle arrays never enter the bucket shuffle.  At 10^9 docs this is
+    # the difference between shuffling ids and shuffling the corpus.
+    banded = base.select(
         "id",
-        "sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -181,7 +238,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("band"),
-    ).select("id", "sh", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+    ).select("id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
 
     l = banded.alias("l")
     rt = banded.alias("r")
@@ -192,16 +249,18 @@ def minhash_lsh_pairs(
             & (F.col("l.band_hash") == F.col("r.band_hash"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_l"),
-            F.col("r.id").alias("id_r"),
-            F.col("l.sh").alias("sh_l"),
-            F.col("r.sh").alias("sh_r"),
-        )
+        .select(F.col("l.id").alias("id_l"), F.col("r.id").alias("id_r"))
         .dropDuplicates(["id_l", "id_r"])
     )
+
+    # exact verification: hash-join the (deduplicated, small) candidate set
+    # back to the shingle table twice
+    sl = shingles.select(F.col("id").alias("id_l"), F.col("sh").alias("sh_l"))
+    sr = shingles.select(F.col("id").alias("id_r"), F.col("sh").alias("sh_r"))
     return (
-        cand.select(
+        cand.join(sl, "id_l")
+        .join(sr, "id_r")
+        .select(
             "id_l",
             "id_r",
             F.round(jaccard(F.col("sh_l"), F.col("sh_r")), 6).alias("jaccard_sim"),
@@ -267,6 +326,7 @@ def simhash_pairs(
     (split the code into max_hamming+1 segments, pigeonhole: any pair within
     distance d shares at least one exact segment) — same verification stage.
     """
+    df = _ensure_parallel(df, id_col)
     s = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh"))
     l = s.alias("l")
     r = s.alias("r")
@@ -294,6 +354,7 @@ def simhash_pairs_blocked(
     (segment_id, segment_value) instead of an n² compare."""
     n_seg = max_hamming + 1
     seg_bits = bits // n_seg
+    df = _ensure_parallel(df, id_col)
     s = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh"))
     segs = s.select(
         "id",
@@ -349,6 +410,7 @@ def embedding_neardup_pairs(
     """
     from ..functions.vectors import cosine
 
+    df = _ensure_parallel(df, id_col)
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     l = v.alias("l")
     r = v.alias("r")

@@ -54,8 +54,8 @@ def sql_ngram_jaccard_pairs(shingle_n: int = 3, threshold: float = 0.7) -> str:
 def sql_minhash_pairs(shingle_n: int = 3, threshold: float = 0.7) -> str:
     # semantic oracle: exact near-dup pairs.  The Spark side reaches the
     # same set via MinHash-LSH candidates + exact-Jaccard verification;
-    # with r=2/b=16 banding, recall at the data's observed similarity
-    # (>=0.9) is 1 - (1 - 0.81)^16 ~ 1 - 3e-12.
+    # with r=3/b=16 banding, recall at the data's observed similarity
+    # (>=0.9) is 1 - (1 - 0.729)^16 ~ 1 - 1e-9.
     return sql_ngram_jaccard_pairs(shingle_n=shingle_n, threshold=threshold)
 
 
