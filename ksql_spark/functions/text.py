@@ -69,15 +69,33 @@ def _stopword_hits(col: Column, stops: list[str]) -> Column:
     return F.size(F.filter(words(col), lambda w: F.array_contains(arr, w))).cast("bigint")
 
 
+def _bound(arr: Column, fn) -> Column:
+    """Evaluate ``fn`` with ``arr`` bound to a lambda variable so the array
+    expression is computed once per row (higher-order functions are
+    interpreted; re-referencing the raw expression re-runs its whole
+    regex/split chain per use)."""
+    return F.element_at(F.transform(F.array(arr), fn), 1)
+
+
 def lang_id(col: Column) -> Column:
     """Heuristic language ID: argmax of stopword-profile hits; 'und' when no
     profile matches.  Ties break on language code order (deterministic)."""
-    scores = [
-        F.struct(_stopword_hits(col, stops).alias("hits"), F.lit(lang).alias("lang"))
-        for lang, stops in sorted(LANG_PROFILES.items(), reverse=True)
-    ]
-    best = F.array_max(F.array(*scores))
-    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+    def contains(a: Column):
+        # closure, not default-arg: pyspark would read `lambda w, a=a` as a
+        # 2-param (value, index) HOF lambda
+        return lambda w: F.array_contains(a, w)
+
+    def pick(wa: Column) -> Column:
+        scores = []
+        for lang, stops in sorted(LANG_PROFILES.items(), reverse=True):
+            arr = F.array(*[F.lit(s) for s in stops])
+            hits = F.size(F.filter(wa, contains(arr))).cast("bigint")
+            scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+        best = F.array_max(F.array(*scores))
+        return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+    return _bound(words(col), pick)
 
 
 def stopword_ratio(col: Column, lang: str = "en") -> Column:
@@ -106,18 +124,28 @@ def quality_score(col: Column) -> Column:
 
     score = 0.4*min(1, tokens/50) + 0.3*min(1, 4*stopword_ratio)
           + 0.2*(1 - min(1, 5*punct_ratio)) + 0.1*clamp((mwl-2)/8)
+
+    The words array is bound once (see _bound) — the naive composition
+    re-runs the normalize/split chain ~6x per row.
     """
-    toks = token_count_ws(col).cast("double")
-    sw = stopword_ratio(col)
-    pr = punct_ratio(col)
-    mwl = mean_word_len(col)
     clamp01 = lambda c: F.greatest(F.lit(0.0), F.least(F.lit(1.0), c))  # noqa: E731
-    return (
-        0.4 * clamp01(toks / 50.0)
-        + 0.3 * clamp01(4.0 * sw)
-        + 0.2 * (1.0 - clamp01(5.0 * pr))
-        + 0.1 * clamp01((mwl - 2.0) / 8.0)
-    )
+    pr = punct_ratio(col)
+    stops = F.array(*[F.lit(s) for s in LANG_PROFILES["en"]])
+
+    def score(wa: Column) -> Column:
+        toks = F.size(wa).cast("double")
+        hits = F.size(F.filter(wa, lambda w: F.array_contains(stops, w))).cast("bigint")
+        sw = F.when(toks > 0, hits / toks).otherwise(F.lit(0.0))
+        total_len = F.aggregate(wa, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x))
+        mwl = F.when(F.size(wa) > 0, total_len.cast("double") / F.size(wa)).otherwise(F.lit(0.0))
+        return (
+            0.4 * clamp01(toks / 50.0)
+            + 0.3 * clamp01(4.0 * sw)
+            + 0.2 * (1.0 - clamp01(5.0 * pr))
+            + 0.1 * clamp01((mwl - 2.0) / 8.0)
+        )
+
+    return _bound(words(col), score)
 
 
 def fingerprint(col: Column) -> Column:
