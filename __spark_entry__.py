@@ -16,8 +16,13 @@ the core parity claim (BASELINE.json north_rule).
 from __future__ import annotations
 
 import os
+import sys
 import tempfile
 from collections.abc import Callable
+
+# resolve the ksql_spark package relative to this file, regardless of the
+# driver's working directory
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as Fn
