@@ -316,7 +316,12 @@ def q_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         .GroupBy(F("l_orderkey"))
         .EmitChanges()
     )
-    return compile_select(q, sources=src)
+    df = compile_select(q, sources=src)
+    # canonicalize the array to (pos, value) rows so the driver can hash it;
+    # pos also verifies the engine's stable-order contract
+    return df.select("l_orderkey", Fn.posexplode("line_numbers").alias("pos", "line_number")).select(
+        "l_orderkey", Fn.col("pos").cast("bigint").alias("pos"), "line_number"
+    )
 
 
 def q_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,7 +334,10 @@ def q_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         .GroupBy(F("user_id"))
         .EmitChanges()
     )
-    return compile_select(q, sources=src)
+    df = compile_select(q, sources=src)
+    return df.select("user_id", Fn.posexplode("types").alias("pos", "event_type")).select(
+        "user_id", Fn.col("pos").cast("bigint").alias("pos"), "event_type"
+    )
 
 
 def q_latest_by_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -379,7 +387,10 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .GroupBy(F("user_id"))
         .EmitChanges()
     )
-    return compile_select(q, sources=src)
+    df = compile_select(q, sources=src)
+    return df.select("user_id", Fn.posexplode("top_vals").alias("rank", "top_val")).select(
+        "user_id", Fn.col("rank").cast("bigint").alias("rank"), "top_val"
+    )
 
 
 def q_topk_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -392,7 +403,10 @@ def q_topk_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .GroupBy(F("user_id"))
         .EmitChanges()
     )
-    return compile_select(q, sources=src)
+    df = compile_select(q, sources=src)
+    return df.select("user_id", Fn.posexplode("top_types").alias("rank", "top_type")).select(
+        "user_id", Fn.col("rank").cast("bigint").alias("rank"), "top_type"
+    )
 
 
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -777,12 +791,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, (props::json ->> 'k')::bigint AS prop_k FROM events
         """,
         "collect_list": """
-            SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS line_numbers
-            FROM lineitem GROUP BY l_orderkey
+            SELECT l_orderkey,
+                   cast(generate_subscripts(line_numbers, 1) - 1 AS bigint) AS pos,
+                   unnest(line_numbers) AS line_number
+            FROM (SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS line_numbers
+                  FROM lineitem GROUP BY l_orderkey)
         """,
         "collect_set": """
-            SELECT user_id, list(DISTINCT event_type ORDER BY event_type) AS types
-            FROM events GROUP BY user_id
+            SELECT user_id,
+                   cast(generate_subscripts(types, 1) - 1 AS bigint) AS pos,
+                   unnest(types) AS event_type
+            FROM (SELECT user_id, list(DISTINCT event_type ORDER BY event_type) AS types
+                  FROM events GROUP BY user_id)
         """,
         "latest_by_offset": """
             SELECT user_id, event_type AS last_type FROM (
@@ -798,13 +818,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "topk": """
             SELECT user_id,
-                   list_slice(list(round(value, 4) ORDER BY round(value, 4) DESC), 1, 3) AS top_vals
-            FROM events GROUP BY user_id
+                   cast(generate_subscripts(top_vals, 1) - 1 AS bigint) AS rank,
+                   unnest(top_vals) AS top_val
+            FROM (SELECT user_id,
+                         list_slice(list(round(value, 4) ORDER BY round(value, 4) DESC), 1, 3) AS top_vals
+                  FROM events GROUP BY user_id)
         """,
         "topk_distinct": """
             SELECT user_id,
-                   list_slice(list(DISTINCT event_type ORDER BY event_type DESC), 1, 2) AS top_types
-            FROM events GROUP BY user_id
+                   cast(generate_subscripts(top_types, 1) - 1 AS bigint) AS rank,
+                   unnest(top_types) AS top_type
+            FROM (SELECT user_id,
+                         list_slice(list(DISTINCT event_type ORDER BY event_type DESC), 1, 2) AS top_types
+                  FROM events GROUP BY user_id)
         """,
         "histogram": """
             SELECT user_id, event_type, cnt FROM (

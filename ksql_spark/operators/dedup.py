@@ -38,11 +38,19 @@ def _ensure_parallel(df: DataFrame, key_col: str) -> DataFrame:
     A single small parquet file scans as one partition; signature
     computation (md5 per shingle/token) is CPU-bound and embarrassingly
     parallel, so hash-spread it on the id before the heavy projection.
+    The probe uses ``inputFiles()`` (driver-side listing, no plan-to-RDD
+    conversion): with at least ``defaultParallelism`` files the scan is
+    already parallel and the corpus is NOT reshuffled — at cluster scale
+    this branch is the common case and costs nothing.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, F.col(key_col))
-    return df
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file source (in-memory fixture): size unknown
+        n_files = 0
+    if n_files >= target:
+        return df
+    return df.repartition(target, F.col(key_col))
 
 
 # ---------------------------------------------------------------------------

@@ -78,27 +78,25 @@ class ExactlyOnceParquetSink:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if self.is_committed(batch_id):
-            # epoch re-delivery after restart: already durable, skip (dedup)
+            # Epoch re-delivery after restart: the data is already durable so
+            # the sink write is skipped (idempotency), but the batch must
+            # still be fully consumed — on Spark 4.x every state-store
+            # partition has to commit for the epoch or the resumed query dies
+            # with STATE_STORE_COMMIT_VALIDATION_FAILED.  The noop format
+            # drains every partition without producing output.
+            batch_df.write.format("noop").mode("overwrite").save()
             return
         path = self._batch_path(batch_id)
         if os.path.exists(path):
             shutil.rmtree(path)  # partial write from a crashed attempt
 
         out = batch_df.withColumn("__op", F.lit(self.op))
-        lineage_rows: list[dict] = []
-        if self.lineage:
-            out = out.withColumn("__part_id", F.spark_partition_id())
-            out.write.mode("overwrite").parquet(path)
-            spark = batch_df.sparkSession
-            lineage_rows = [
-                {"partition": r["__part_id"], "rows": r["cnt"]}
-                for r in spark.read.parquet(path)
-                .groupBy("__part_id")
-                .agg(F.count(F.lit(1)).alias("cnt"))
-                .collect()
-            ]
-        else:
-            out.write.mode("overwrite").parquet(path)
+        out.write.mode("overwrite").parquet(path)
+        # Per-partition lineage from the parquet footers of the files just
+        # written — metadata-only reads (no second pass over the data, unlike
+        # a re-read + groupBy which would double sink I/O every epoch).  The
+        # writer task index embedded in each part file name IS the partition.
+        lineage_rows = self._file_lineage(path) if self.lineage else []
 
         marker = {
             "batch_id": batch_id,
@@ -111,6 +109,17 @@ class ExactlyOnceParquetSink:
         with open(tmp, "w") as fh:
             json.dump(marker, fh)
         os.rename(tmp, self._marker_path(batch_id))  # atomic commit point
+
+    def _file_lineage(self, path: str) -> list[dict]:
+        """Per-partition row counts from parquet footers (metadata-only)."""
+        import pyarrow.parquet as pq
+
+        rows: list[dict] = []
+        for f in sorted(os.listdir(path)):
+            if f.startswith("part-") and f.endswith(".parquet"):
+                meta = pq.ParquetFile(os.path.join(path, f)).metadata
+                rows.append({"partition": int(f.split("-")[1]), "rows": meta.num_rows})
+        return rows
 
     # -- reading back ----------------------------------------------------------
 
