@@ -540,6 +540,103 @@ def streaming_tumbling_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_emit_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMIT FINAL CSAS: append-mode windowed aggregate that emits each window
+    exactly once, when the watermark closes it (reference semantics:
+    ksql/select_builder.go:164-169,649-651).  Oracle = batch recomputation
+    restricted to watermark-closed windows (window_end <= max(ts) - grace)."""
+    from ksql_spark import (
+        TABLE,
+        Catalog,
+        Count,
+        Create,
+        F,
+        STREAM,
+        Schema,
+        Select,
+        Sum,
+        TimeUnit,
+        TumblingWindow,
+    )
+    from ksql_spark.streaming.engine import PersistentQueryManager
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    work = tempfile.mkdtemp(prefix="ksql_driver_final_")
+    cat = Catalog(spark, root=os.path.join(work, "catalog"))
+    cat.register_parquet(
+        "events",
+        os.path.join(sf_dir, "events.parquet"),
+        ref=STREAM,
+        event_time_col="ts",
+        event_order_cols=["ts", "event_id"],
+    )
+    mgr = PersistentQueryManager(
+        spark, cat, workdir=os.path.join(work, "engine"), grace="30 minutes",
+        enable_metrics=False,
+    )
+    csas = Create(TABLE, "hourly_finals").AsSelect(
+        Select(
+            F("event_type"),
+            Count(F("event_id")).Alias("cnt"),
+            Sum(F("value")).Alias("sum_val"),
+        )
+        .From(Schema("events", STREAM))
+        .WindowedBy(TumblingWindow(1, TimeUnit.HOURS))
+        .GroupBy(F("event_type"))
+        .EmitFinal()
+    )
+    mgr.create_as_select(csas, available_now=True, await_termination=True)
+    out = mgr.queries["hourly_finals"].sink.read_data(spark)
+    return out.select(
+        _fmt("window_start").alias("window_start"),
+        "event_type",
+        "cnt",
+        Fn.round("sum_val", 4).alias("sum_val"),
+    )
+
+
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-bounded stream-stream self-join (ksqlDB windowed join,
+    SURVEY.md §2.3): same-user event pairs within ±300 s, each emitted
+    exactly once through the append changelog.  Oracle = the equivalent
+    DuckDB time-range join."""
+    from ksql_spark import Catalog, Create, F, STREAM, Schema, Select
+    from ksql_spark.streaming.engine import PersistentQueryManager
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    work = tempfile.mkdtemp(prefix="ksql_driver_ssj_")
+    cat = Catalog(spark, root=os.path.join(work, "catalog"))
+    for name in ("events_l", "events_r"):
+        cat.register_parquet(
+            name,
+            os.path.join(sf_dir, "events.parquet"),
+            ref=STREAM,
+            event_time_col="ts",
+            event_order_cols=["ts", "event_id"],
+        )
+    mgr = PersistentQueryManager(
+        spark, cat, workdir=os.path.join(work, "engine"), grace="365 days",
+        enable_metrics=False,
+    )
+    csas = Create(STREAM, "user_event_pairs").AsSelect(
+        Select(
+            F("l.event_id").Alias("id_l"),
+            F("r.event_id").Alias("id_r"),
+            F("l.user_id").Alias("user_id"),
+        )
+        .From(Schema("events_l", STREAM).As("l"))
+        .Join(
+            Schema("events_r", STREAM).As("r"),
+            F("l.user_id").Equal(F("r.user_id")),
+            within_seconds=300,
+        )
+        .Where(F("l.event_id").Less(F("r.event_id")))
+        .EmitChanges()
+    )
+    mgr.create_as_select(csas, available_now=True, await_termination=True)
+    return mgr.queries["user_event_pairs"].sink.read_data(spark)
+
+
 # ---------------------------------------------------------------------------
 # training-data operators
 # ---------------------------------------------------------------------------
@@ -604,17 +701,50 @@ def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb.filter(Fn.col("vec_id") != 0), query, k=10)
 
 
+def _embeddings_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings plus deterministic near-dup plants: every 10th vector gets
+    a perturbed copy (+id offset) whose cosine to the original is ~0.999,
+    while natural pairs top out near 0.5 — so a 0.99 threshold isolates the
+    plants and the near-dup oracle is non-vacuous.  The perturbation is the
+    same arithmetic in Spark and DuckDB (oracles.sql_embeddings_planted_cte),
+    so signatures match bit-for-bit."""
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    base = emb.select(
+        "vec_id", Fn.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    planted = emb.filter(Fn.col("vec_id") % 10 == 0).select(
+        (Fn.col("vec_id") + 1000000).alias("vec_id"),
+        Fn.transform(
+            "embedding",
+            lambda x, i: x.cast("double") + ((i % 5) - 2).cast("double") * Fn.lit(0.004),
+        ).alias("embedding"),
+    )
+    return base.unionByName(planted)
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scale path: banded hyperplane LSH + exact-cosine verify; oracle is the
+    # brute-force recompute — pairs must match exactly (banding recall ~1 at
+    # the planted similarity)
+    from ksql_spark.operators.dedup import embedding_neardup_pairs_lsh
+
+    return embedding_neardup_pairs_lsh(
+        _embeddings_planted(spark, sf_dir), threshold=0.99, bands=8, rows_per_band=6, n_dims=64
+    )
+
+
+def q_embed_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the O(n²) oracle-path operator, same planted corpus, same oracle
     from ksql_spark.operators.dedup import embedding_neardup_pairs
 
-    src = _load(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(src["embeddings"], threshold=0.9)
+    return embedding_neardup_pairs(_embeddings_planted(spark, sf_dir), threshold=0.99)
 
 
 def q_embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate path: bucketed ANN with multi-probe; no SQL oracle (the
-    # driver records a rows-only check) — exact parity for the bucketing
-    # math is covered by tests/test_similarity.py
+    # approximate path: bucketed ANN with multi-probe.  The oracle is a full
+    # DuckDB mirror of the bucketing math (same md5-derived hyperplanes,
+    # same probe set), so the approximate rows themselves hash-compare —
+    # any drift in the bucket computation fails the gate.
     from ksql_spark.operators.similarity import lsh_topk
 
     src = _load(spark, sf_dir, "embeddings")
@@ -672,6 +802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_hopping": q_window_hopping,
         "window_session": q_window_session,
         "streaming_tumbling_changelog": streaming_tumbling_changelog,
+        "streaming_emit_final": streaming_emit_final,
+        "streaming_stream_stream_join": streaming_stream_stream_join,
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -679,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_neardup": q_embed_neardup,
+        "embed_neardup_exact": q_embed_neardup_exact,
         "embed_lsh_ann": q_embed_lsh_ann,
         "multimodal_features": q_multimodal_features,
     }
@@ -694,7 +827,8 @@ def oracle_sql() -> dict[str, str]:
     )
     from ksql_spark.oracles import (
         sql_embed_cosine_topk,
-        sql_embed_neardup,
+        sql_embed_lsh_ann,
+        sql_embed_neardup_planted,
         sql_minhash_pairs,
         sql_ngram_jaccard_pairs,
         sql_simhash_pairs,
@@ -864,6 +998,25 @@ def oracle_sql() -> dict[str, str]:
             FROM m GROUP BY user_id, sess
         """,
         "streaming_tumbling_changelog": tumbling_sql,
+        "streaming_emit_final": """
+            WITH mx AS (SELECT max(ts) AS m FROM events),
+                 agg AS (
+                    SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+                           count(event_id) AS cnt, round(sum(value), 4) AS sum_val
+                    FROM events GROUP BY 1, 2
+                 )
+            SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, cnt, sum_val
+            FROM agg, mx WHERE wstart + INTERVAL '1 hour' <= m - INTERVAL '30 minutes'
+        """,
+        "streaming_stream_stream_join": """
+            SELECT l.event_id AS id_l, r.event_id AS id_r, l.user_id AS user_id
+            FROM events l JOIN events r
+              ON l.user_id = r.user_id
+             AND r.ts >= l.ts - INTERVAL '300 seconds'
+             AND r.ts <= l.ts + INTERVAL '300 seconds'
+            WHERE l.event_id < r.event_id
+        """,
         "text_stats": f"""
             SELECT doc_id,
                    {SQL_TOKEN_WS.format(c='text')} AS tok_ws,
@@ -881,7 +1034,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": sql_minhash_pairs(shingle_n=3, threshold=0.7),
         "dedup_simhash": sql_simhash_pairs(bits=32, max_hamming=3),
         "embed_cosine_topk": sql_embed_cosine_topk(k=10),
-        "embed_neardup": sql_embed_neardup(threshold=0.9),
-        # embed_lsh_ann: approximate — rows-only check (by design)
+        "embed_neardup": sql_embed_neardup_planted(threshold=0.99),
+        "embed_neardup_exact": sql_embed_neardup_planted(threshold=0.99),
+        "embed_lsh_ann": sql_embed_lsh_ann(k=10, n_planes=8),
         # multimodal_features: mapInPandas stub — rows-only check (by design)
     }

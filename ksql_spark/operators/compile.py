@@ -86,6 +86,10 @@ class CompileContext:
                 df = self.catalog.read(fe.name)
         else:
             raise AnalysisError(f"unknown relation {fe.name!r}")
+        # normalize BEFORE aliasing: withColumn builds a new projection that
+        # would strip the relation alias (breaking qualified refs like r.ts
+        # in join bounds)
+        df = _normalize_event_time(df, self.resolve_event_time(fe, df))
         return df.alias(fe.effective_name())
 
     def relation_meta(self, fe: FromExpression):
@@ -221,7 +225,6 @@ def compile_select(
     df = ctx.resolve(sb.from_expr)
     ts_col = ctx.resolve_event_time(sb.from_expr, df)
     order_cols = ctx.resolve_event_order(sb.from_expr, df)
-    df = _normalize_event_time(df, ts_col)
 
     left_is_stream = sb.from_expr.ref == Ref.STREAM
 
@@ -235,7 +238,6 @@ def compile_select(
     # -- joins (left-deep, SURVEY.md §2.3) ---------------------------------
     for j in sb.joins:
         right = ctx.resolve(j.source)
-        right = _normalize_event_time(right, ctx.resolve_event_time(j.source, right))
         right_rel = ctx.relation_meta(j.source)
         right_is_stream = j.source.ref == Ref.STREAM
 

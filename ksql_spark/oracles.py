@@ -99,3 +99,70 @@ def sql_embed_neardup(threshold: float = 0.9) -> str:
         FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
         WHERE {cos} >= {threshold}
     """
+
+
+# planted near-dup fixture: deterministic perturbed copies of every
+# (vec_id % plant_mod == 0) vector — mirrors __spark_entry__._embeddings_planted
+def sql_embeddings_planted_cte(
+    n_dims: int = 64, plant_mod: int = 10, id_offset: int = 1000000
+) -> str:
+    idx = "[" + ", ".join(str(i) for i in range(n_dims)) + "]"
+    return f"""(
+        SELECT vec_id, list_transform(embedding, x -> x::double) AS embedding
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + {id_offset} AS vec_id,
+               list_transform(list_zip(embedding, {idx}),
+                              p -> p[1]::double + ((p[2] % 5) - 2) * 0.004) AS embedding
+        FROM embeddings WHERE vec_id % {plant_mod} = 0
+    )"""
+
+
+def sql_embed_neardup_planted(threshold: float = 0.99, n_dims: int = 64) -> str:
+    """Brute-force oracle over the planted corpus.  The Spark side reaches
+    the same set via banded hyperplane LSH + exact-cosine verification
+    (dedup.embedding_neardup_pairs_lsh); at the planted similarity
+    (cos ~ 0.999) banding recall is 1 - ~3e-8."""
+    cos = _sql_cosine("l.embedding", "r.embedding")
+    return f"""
+        WITH emb AS {sql_embeddings_planted_cte(n_dims)}
+        SELECT l.vec_id AS id_l, r.vec_id AS id_r, round({cos}, 6) AS cosine_sim
+        FROM emb l JOIN emb r ON l.vec_id < r.vec_id
+        WHERE {cos} >= {threshold}
+    """
+
+
+def _sql_plane_dot(vec: str, weights: list[float]) -> str:
+    w = "[" + ", ".join(repr(x) for x in weights) + "]"
+    return f"list_sum(list_transform(list_zip({vec}, {w}), p -> p[1]::double * p[2]))"
+
+
+def sql_bucket_expr(vec: str, planes: list[list[float]]) -> str:
+    """Packed sign-bit LSH bucket — bit-for-bit the Spark
+    similarity.hyperplane_bucket (same md5-derived planes, same fold)."""
+    terms = [
+        f"(CASE WHEN {_sql_plane_dot(vec, w)} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, w in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")::bigint"
+
+
+def sql_embed_lsh_ann(k: int = 10, n_planes: int = 8, n_dims: int = 64) -> str:
+    """Full mirror of similarity.lsh_topk: identical buckets, identical
+    multi-probe set (query bucket + all 1-bit flips), identical re-rank —
+    so the approximate result rows themselves hash-compare."""
+    from .operators.similarity import hyperplanes
+
+    planes = hyperplanes(n_planes, n_dims)
+    cos = _sql_cosine("b.embedding", "q.embedding")
+    return f"""
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+             qb AS (SELECT {sql_bucket_expr("embedding", planes)} AS bucket FROM q),
+             b AS (SELECT vec_id, embedding,
+                          {sql_bucket_expr("embedding", planes)} AS bucket
+                   FROM embeddings WHERE vec_id != 0)
+        SELECT b.vec_id, round({cos}, 6) AS cosine_sim
+        FROM b, q, qb
+        WHERE bit_count(xor(b.bucket, qb.bucket)) <= 1
+        ORDER BY cosine_sim DESC, b.vec_id ASC LIMIT {k}
+    """

@@ -80,3 +80,29 @@ def test_embedding_neardup(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     pairs = embedding_neardup_pairs(df, threshold=0.95).collect()
     assert [(r.id_l, r.id_r) for r in pairs] == [(1, 2)]
+
+
+def test_embedding_neardup_lsh_equals_bruteforce(spark):
+    # deterministic corpus with planted near-dups (md5-free: fixed seeds)
+    import math
+
+    def vec(seed, dim=16):
+        return [math.sin(seed * 7.91 + d * 1.37) for d in range(dim)]
+
+    rows = [(i, vec(i)) for i in range(40)]
+    # plants: tiny per-dim perturbation of every 8th vector
+    rows += [
+        (1000 + i, [x + ((d % 5) - 2) * 0.004 for d, x in enumerate(vec(i))])
+        for i in range(0, 40, 8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from ksql_spark.operators.dedup import embedding_neardup_pairs_lsh
+
+    bf = embedding_neardup_pairs(df, threshold=0.99)
+    lsh = embedding_neardup_pairs_lsh(df, threshold=0.99, bands=8, rows_per_band=6, n_dims=16)
+    a = sorted(map(tuple, bf.collect()))
+    b = sorted(map(tuple, lsh.collect()))
+    assert a == b
+    # all 5 plants found (plus natural sin-periodicity near-dups), not vacuous
+    planted = {(i, 1000 + i) for i in range(0, 40, 8)}
+    assert planted <= {(x[0], x[1]) for x in a}
