@@ -595,6 +595,56 @@ def streaming_emit_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_session_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows under EMIT CHANGES — the applyInPandasWithState custom
+    stateful operator (Spark's built-in session_window rejects update mode).
+    Upserts + merge tombstones materialize to exactly the batch gap-session
+    result; oracle = the DuckDB lag/gap-session recomputation."""
+    from ksql_spark import (
+        TABLE,
+        Catalog,
+        Count,
+        Create,
+        F,
+        STREAM,
+        Schema,
+        Select,
+        SessionWindow,
+        TimeUnit,
+    )
+    from ksql_spark.streaming.engine import PersistentQueryManager
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    work = tempfile.mkdtemp(prefix="ksql_driver_sess_")
+    cat = Catalog(spark, root=os.path.join(work, "catalog"))
+    cat.register_parquet(
+        "events",
+        os.path.join(sf_dir, "events.parquet"),
+        ref=STREAM,
+        event_time_col="ts",
+        event_order_cols=["ts", "event_id"],
+    )
+    mgr = PersistentQueryManager(
+        spark, cat, workdir=os.path.join(work, "engine"), grace="365 days",
+        enable_metrics=False,
+    )
+    csas = Create(TABLE, "session_stats").AsSelect(
+        Select(F("user_id"), Count(F("event_id")).Alias("cnt"))
+        .From(Schema("events", STREAM))
+        .WindowedBy(SessionWindow(30, TimeUnit.MINUTES))
+        .GroupBy(F("user_id"))
+        .EmitChanges()
+    )
+    mgr.create_as_select(csas, available_now=True, await_termination=True)
+    state = cat.read("QUERYABLE_session_stats")
+    return state.select(
+        Fn.unix_micros(Fn.col("window_start").cast("timestamp")).alias("session_start_us"),
+        Fn.unix_micros(Fn.col("window_end").cast("timestamp")).alias("session_end_us"),
+        "user_id",
+        "cnt",
+    )
+
+
 def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-bounded stream-stream self-join (ksqlDB windowed join,
     SURVEY.md §2.3): same-user event pairs within ±300 s, each emitted
@@ -803,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_session": q_window_session,
         "streaming_tumbling_changelog": streaming_tumbling_changelog,
         "streaming_emit_final": streaming_emit_final,
+        "streaming_session_changelog": streaming_session_changelog,
         "streaming_stream_stream_join": streaming_stream_stream_join,
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
@@ -838,6 +889,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type, count(event_id) AS cnt, round(sum(value), 4) AS sum_val
         FROM events GROUP BY 1, 2
+    """
+    session_sql = """
+        WITH o AS (
+            SELECT user_id, ts, event_id,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events),
+        m AS (
+            SELECT user_id, ts, event_id,
+                   sum(CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess
+            FROM o)
+        SELECT epoch_us(min(ts)) AS session_start_us,
+               epoch_us(max(ts) + INTERVAL '30 minutes') AS session_end_us,
+               user_id, count(event_id) AS cnt
+        FROM m GROUP BY user_id, sess
     """
     return {
         "filter_project": """
@@ -980,23 +1048,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events, range(2) r(i)
             GROUP BY 1, 2
         """,
-        "window_session": """
-            WITH o AS (
-                SELECT user_id, ts, event_id,
-                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-                FROM events),
-            m AS (
-                SELECT user_id, ts, event_id,
-                       sum(CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '30 minutes'
-                                THEN 1 ELSE 0 END)
-                           OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS sess
-                FROM o)
-            SELECT epoch_us(min(ts)) AS session_start_us,
-                   epoch_us(max(ts) + INTERVAL '30 minutes') AS session_end_us,
-                   user_id, count(event_id) AS cnt
-            FROM m GROUP BY user_id, sess
-        """,
+        "window_session": session_sql,
+        "streaming_session_changelog": session_sql,
         "streaming_tumbling_changelog": tumbling_sql,
         "streaming_emit_final": """
             WITH mx AS (SELECT max(ts) AS m FROM events),

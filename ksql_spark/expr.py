@@ -564,8 +564,17 @@ class SessionWindow(WindowSpec):
 
     kind = "session"
 
+    _SECONDS = {
+        TimeUnit.MILLISECONDS: 0.001,
+        TimeUnit.SECONDS: 1,
+        TimeUnit.MINUTES: 60,
+        TimeUnit.HOURS: 3600,
+        TimeUnit.DAYS: 86400,
+    }
+
     def __init__(self, gap: int, unit: TimeUnit = TimeUnit.SECONDS):
         self.gap = _duration(gap, unit)
+        self.gap_seconds = gap * self._SECONDS[unit]
 
     def grouping_column(self, ts_col: str) -> Column:
         return F.session_window(F.col(ts_col), self.gap)

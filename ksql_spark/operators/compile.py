@@ -34,7 +34,9 @@ from ..expr import (
     Expr,
     ExpressionList,
     Field,
+    Histogram,
     LatestByOffset,
+    SessionWindow,
 )
 
 DEFAULT_GRACE = "10 minutes"
@@ -228,12 +230,24 @@ def compile_select(
 
     left_is_stream = sb.from_expr.ref == Ref.STREAM
 
+    # session windows under EMIT CHANGES need the custom stateful operator:
+    # Spark's session_window aggregation rejects update mode, so the
+    # applyInPandasWithState fallback (streaming/sessions.py) takes over —
+    # it applies its own watermark on the projected event time
+    session_changes = (
+        streaming
+        and left_is_stream
+        and isinstance(sb.window, SessionWindow)
+        and sb.emit == EmitMode.CHANGES
+    )
+
     # watermark before any stateful streaming op (SURVEY.md §2.5)
     needs_state = streaming and (sb.window is not None or sb.group_by or sb.joins)
     if needs_state and left_is_stream:
         if ts_col is None:
             raise AnalysisError("stateful streaming query requires an event-time column")
-        df = df.withWatermark(ts_col, grace)
+        if not session_changes:
+            df = df.withWatermark(ts_col, grace)
 
     # -- joins (left-deep, SURVEY.md §2.3) ---------------------------------
     for j in sb.joins:
@@ -281,7 +295,20 @@ def compile_select(
 
     # -- aggregation ---------------------------------------------------------
     agg_fields = [f for f in sb.fields if f.is_aggregate()]
-    if agg_fields or sb.group_by:
+    if session_changes and df.isStreaming and (agg_fields or sb.group_by):
+        from ..streaming.sessions import session_changelog
+
+        if ts_col is None:
+            raise AnalysisError("session window requires an event-time column")
+        df = session_changelog(
+            df,
+            ts_col,
+            [(g.output_name(), g.output()) for g in sb.group_by],
+            sb.window.gap_seconds,
+            agg_fields,
+            grace=grace,
+        )
+    elif agg_fields or sb.group_by:
         df = _lower_aggregate(sb, df, ts_col, order_cols)
     else:
         out_cols = [f.output() for f in sb.fields]
@@ -296,6 +323,38 @@ def compile_select(
     if sb.limit_n is not None:
         df = df.limit(sb.limit_n)
     return df
+
+
+def _lower_histogram_twolevel(
+    sb: SelectBuilder, df: DataFrame, group_cols: list[Column], hist: Histogram, windowed: bool
+) -> DataFrame:
+    """Two-shuffle HISTOGRAM: groupBy(keys, value).count, then per-key
+    top-`buckets` over the (small) distinct-value rows.  Output is identical
+    to the single-agg fold: entries ordered by (-count, value)."""
+    lvl1 = df.groupBy(*group_cols, hist.arg.to_column().cast("string").alias("__hval")).agg(
+        F.count(F.lit(1)).alias("__hcnt")
+    )
+    key_names = (["__window"] if windowed else []) + [g.output_name() for g in sb.group_by]
+    return lvl1.groupBy(*[F.col(n) for n in key_names]).agg(
+        F.map_from_entries(
+            F.transform(
+                F.slice(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("__hcnt")).alias("neg"),
+                                F.col("__hval").alias("key"),
+                                F.col("__hcnt").alias("cnt"),
+                            )
+                        )
+                    ),
+                    1,
+                    hist.buckets,
+                ),
+                lambda s: F.struct(s["key"].alias("key"), s["cnt"].alias("value")),
+            )
+        ).alias(hist.output_name())
+    )
 
 
 def _lower_aggregate(
@@ -332,13 +391,30 @@ def _lower_aggregate(
         subs[id(agg)] = hname
         hidden_cols.append(agg.to_column().alias(hname))
 
-    agg_cols = [f.output() for f in sb.fields if f.is_aggregate()]
-    if not agg_cols and not hidden_cols:
-        # GROUP BY with no aggregates == DISTINCT over the keys
-        agg_cols = [F.count(F.lit(1)).alias("__cnt")]
+    agg_fields = [f for f in sb.fields if f.is_aggregate()]
 
-    grouped = df.groupBy(*group_cols) if group_cols else df.groupBy()
-    out = grouped.agg(*agg_cols, *hidden_cols)
+    # HISTOGRAM scale path (SURVEY.md §2.4): for batch plans the value->count
+    # map comes from a two-level groupBy — (keys, value) count, then a small
+    # per-key top-`buckets` fold — instead of the single-agg map-fold, whose
+    # per-group cost is O(distinct²) and degenerates on a hot key with a
+    # large distinct value set.  Both shuffles partial-aggregate map-side;
+    # per-key state after level 1 is one row per distinct value, spillable.
+    # Streaming keeps the single-pass fold (state must live in one agg).
+    if (
+        not df.isStreaming
+        and len(agg_fields) == 1
+        and isinstance(agg_fields[0], Histogram)
+        and not sb.having_exprs
+    ):
+        out = _lower_histogram_twolevel(sb, df, group_cols, agg_fields[0], windowed)
+    else:
+        agg_cols = [f.output() for f in agg_fields]
+        if not agg_cols and not hidden_cols:
+            # GROUP BY with no aggregates == DISTINCT over the keys
+            agg_cols = [F.count(F.lit(1)).alias("__cnt")]
+
+        grouped = df.groupBy(*group_cols) if group_cols else df.groupBy()
+        out = grouped.agg(*agg_cols, *hidden_cols)
 
     for cond in sb.having_exprs:
         out = out.filter(_lower_with_subs(cond, subs))

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 OP_UPSERT = "U"
 OP_APPEND = "A"
+OP_DELETE = "D"
 
 
 class ExactlyOnceParquetSink:
@@ -90,7 +91,12 @@ class ExactlyOnceParquetSink:
         if os.path.exists(path):
             shutil.rmtree(path)  # partial write from a crashed attempt
 
-        out = batch_df.withColumn("__op", F.lit(self.op))
+        # operators that emit their own per-row ops (e.g. session-merge
+        # tombstones, __op='D') keep them; otherwise stamp the sink's op
+        if "__op" in batch_df.columns:
+            out = batch_df
+        else:
+            out = batch_df.withColumn("__op", F.lit(self.op))
         out.write.mode("overwrite").parquet(path)
         # Per-partition lineage from the parquet footers of the files just
         # written — metadata-only reads (no second pass over the data, unlike
@@ -149,9 +155,16 @@ class ExactlyOnceParquetSink:
         lineage = {"__op", "__part_id", "__batch_id"}
         value_cols = [c for c in df.columns if c not in keys and c not in lineage]
         # update-mode changelogs emit at most one row per key per epoch, so
-        # the epoch id is a total order per key
-        agg = [F.max_by(F.struct(*value_cols), F.col("__batch_id").cast("long")).alias("__v")]
+        # the epoch id is a total order per key; carry __op so tombstones
+        # ('D', emitted when e.g. two sessions merge) retract the key
+        agg = [
+            F.max_by(
+                F.struct(*value_cols, F.col("__op").alias("__op")),
+                F.col("__batch_id").cast("long"),
+            ).alias("__v")
+        ]
         out = df.groupBy(*[F.col(k) for k in keys]).agg(*agg)
+        out = out.filter(F.col("__v.__op") != OP_DELETE)
         return out.select(*keys, *[F.col(f"__v.{c}").alias(c) for c in value_cols])
 
 

@@ -175,3 +175,31 @@ def test_having_over_aggregate(spark, turns):
     )
     got = agg(q, turns)
     assert got == {"c1": (3,)}
+
+
+def test_histogram_twolevel_skewed_hot_key(spark):
+    # one hot key with many distinct values: the two-level batch path must
+    # handle what the O(distinct^2) single-agg fold cannot
+    from pyspark.sql import functions as Fn
+
+    from ksql_spark import F, Histogram, STREAM, Schema, Select, compile_select
+
+    df = spark.range(20_000).select(
+        Fn.lit("hot").alias("k"),
+        Fn.when(Fn.col("id") < 3, Fn.lit("dominant"))
+        .otherwise((Fn.col("id") % 5_000).cast("string"))
+        .alias("v"),
+    )
+    q = (
+        Select(F("k"), Histogram(F("v"), 2).Alias("hist"))
+        .From(Schema("t", STREAM))
+        .GroupBy(F("k"))
+        .EmitChanges()
+    )
+    rows = compile_select(q, sources={"t": df}).collect()
+    assert len(rows) == 1
+    entries = list(rows[0]["hist"].items())
+    assert len(entries) == 2
+    # modal count is 4 (each id%5000 value occurs 4x except 0..2); ties
+    # break by value ascending, so both top-2 entries have count 4
+    assert all(cnt == 4 for _, cnt in entries)

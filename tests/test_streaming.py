@@ -195,3 +195,72 @@ def test_filter_project_stream_append(spark, engine, transcripts):
         )
     )
     assert a == b
+
+
+def test_session_window_emit_changes_merge_tombstones(spark, workdir):
+    """Session windows under EMIT CHANGES (applyInPandasWithState fallback):
+    a later micro-batch bridges two previously-emitted sessions; the merged
+    session must be upserted and the stale identities retracted with 'D'
+    tombstones so the QUERYABLE view equals batch recomputation."""
+    import os
+    import time as _time
+
+    base = Fn.lit("2026-01-01 00:00:00").cast("timestamp")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "conv_id string, off long").select(
+            "conv_id",
+            (base + Fn.col("off") * Fn.expr("INTERVAL 60 SECONDS")).alias("ts"),
+            Fn.col("off").alias("turn_idx"),
+        )
+
+    path = f"{workdir}/sess_transcripts"
+    # batch 1: two separate sessions for c1 (gap 30m): [0m] and [40m]
+    mk([("c1", 0), ("c1", 40)]).coalesce(1).write.mode("append").parquet(path)
+    _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    # batch 2: 20m bridges them into one session [0m..40m+gap]
+    mk([("c1", 20)]).coalesce(1).write.mode("append").parquet(path)
+
+    cat = Catalog(spark, root=f"{workdir}/sess_cat")
+    cat.register_parquet(
+        "sess_transcripts",
+        path,
+        ref=STREAM,
+        event_time_col="ts",
+        event_order_cols=["ts", "turn_idx"],
+        metadata={"max_files_per_trigger": 1},
+    )
+    from ksql_spark import SessionWindow, Sum, TimeUnit
+
+    eng = PersistentQueryManager(
+        spark, cat, workdir=f"{workdir}/sess_eng", grace="10 minutes", enable_metrics=False
+    )
+    csas = Create(TABLE, "sess_stats").AsSelect(
+        Select(F("conv_id"), Count(F("turn_idx")).Alias("n"), Sum(F("turn_idx")).Alias("s"))
+        .From(Schema("sess_transcripts", STREAM))
+        .WindowedBy(SessionWindow(30, TimeUnit.MINUTES))
+        .GroupBy(F("conv_id"))
+        .EmitChanges()
+    )
+    pq = eng.create_as_select(csas, available_now=True)
+
+    state = sorted(map(tuple, eng.catalog.read("QUERYABLE_sess_stats").collect()))
+    full = spark.read.parquet(path)
+    want = sorted(
+        map(
+            tuple,
+            full.groupBy(Fn.session_window("ts", "30 minutes").alias("w"), "conv_id")
+            .agg(Fn.count("turn_idx").alias("n"), Fn.sum("turn_idx").alias("s"))
+            .select(
+                Fn.col("w.start").alias("ws"), Fn.col("w.end").alias("we"), "conv_id", "n", "s"
+            )
+            .collect(),
+        )
+    )
+    assert state == want  # one merged session, stale identities retracted
+    assert len(state) == 1
+
+    # the raw changelog must contain the tombstones for the merged-away ids
+    log = pq.sink.read(spark)
+    ops = {r["__op"] for r in log.collect()}
+    assert "D" in ops and "U" in ops
