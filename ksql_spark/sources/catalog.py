@@ -164,6 +164,55 @@ class Catalog:
             "event_time": rel.event_time_col,
         }
 
+    # -- TOPIC surface (reference: topics/specification.go:17-54) ------------
+
+    def register_topic(self, name: str, path: str, format: str = "parquet") -> Relation:
+        """Register a raw storage location as a TOPIC (no schema binding).
+
+        ksqlDB topics are Kafka topics; the Spark analog is the physical
+        dataset a stream/table is bound to (parquet dir / Iceberg table).
+        """
+        return self.register(Relation(name=name, ref=Ref.TOPIC, path=path, format=format))
+
+    def list_topics(self) -> list[dict[str, Any]]:
+        """SHOW TOPICS: every registered TOPIC plus the backing storage of
+        every stream/table (each relation has a backing 'topic', like every
+        ksqlDB relation has a Kafka topic).  Replica info maps to the file
+        count of the location — driver-side listing, no data read."""
+        seen: dict[str, dict[str, Any]] = {}
+        for rel in self._relations.values():
+            if rel.ref == Ref.TOPIC:
+                tname = rel.name
+            else:
+                tname = rel.metadata.get("topic", os.path.basename(rel.path.rstrip("/")))
+            if tname not in seen:
+                seen[tname] = {
+                    "name": tname,
+                    "path": rel.path,
+                    "partitions": self._location_file_count(rel.path),
+                }
+        return sorted(seen.values(), key=lambda t: t["name"])
+
+    def describe_topic(self, name: str) -> dict[str, Any]:
+        """Topic metadata: location, format, file count, total bytes."""
+        for t in self.list_topics():
+            if t["name"] == name:
+                path = t["path"]
+                n_bytes = 0
+                if os.path.isdir(path):
+                    for root, _, files in os.walk(path):
+                        n_bytes += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+                elif os.path.isfile(path):
+                    n_bytes = os.path.getsize(path)
+                return {**t, "bytes": n_bytes}
+        raise CatalogError(f"unknown topic {name!r}")
+
+    @staticmethod
+    def _location_file_count(path: str) -> int:
+        if os.path.isdir(path):
+            return sum(1 for f in os.listdir(path) if not f.startswith(("_", ".")))
+        return 1 if os.path.exists(path) else 0
+
     def drop(self, name: str) -> None:
         """DROP + the QUERYABLE_ twin, like tables/specification.go:127-206."""
         key = name.lower()

@@ -120,3 +120,19 @@ def test_read_stream_on_table_rejected(cat, spark, workdir):
     cat.register_parquet("tbl", p, ref=TABLE)
     with pytest.raises(CatalogError, match="TABLE"):
         cat.read_stream("tbl")
+
+
+def test_topic_surface(spark, tmp_path):
+    """SHOW TOPICS / DESCRIBE topic (reference: topics/specification.go:17-54)."""
+    from ksql_spark import STREAM, Catalog
+
+    p = str(tmp_path / "raw_events")
+    spark.range(10).write.parquet(p)
+    cat = Catalog(spark, root=str(tmp_path / "cat"))
+    cat.register_topic("raw_events_topic", p)
+    cat.register_parquet("ev", p, ref=STREAM)
+    topics = cat.list_topics()
+    names = {t["name"] for t in topics}
+    assert "raw_events_topic" in names and "raw_events" in names
+    d = cat.describe_topic("raw_events_topic")
+    assert d["bytes"] > 0 and d["partitions"] >= 1

@@ -78,3 +78,16 @@ def test_down_reverts_last(spark, migdir, tmp_path):
     assert m.down() is None
     # up re-applies after a down
     assert m.up() == ["300"]
+
+
+def test_cli_create_and_status_parse(tmp_path):
+    from ksql_spark.migrations_cli import _build_parser
+    from ksql_spark.migrations import create_migration
+
+    p = _build_parser()
+    args = p.parse_args(["create", "add_x", "--dir", str(tmp_path)])
+    assert args.cmd == "create" and args.name == "add_x"
+    args = p.parse_args(["up", "--dir", str(tmp_path), "--master", "local[2]"])
+    assert args.cmd == "up" and args.master == "local[2]"
+    path = create_migration(str(tmp_path), "add_x", version=123)
+    assert path.endswith("123_add_x.sql")
