@@ -37,6 +37,8 @@ from ..expr import (
     Histogram,
     LatestByOffset,
     SessionWindow,
+    TopK,
+    TopKDistinct,
 )
 
 DEFAULT_GRACE = "10 minutes"
@@ -357,6 +359,37 @@ def _lower_histogram_twolevel(
     )
 
 
+def _lower_topk_twolevel(
+    sb: SelectBuilder, df: DataFrame, group_cols: list[Column], topk: TopK, windowed: bool
+) -> DataFrame:
+    """Salted two-level TOPK: per-(key, salt) partial top-k, then top-k of the
+    merged partials.  Any value in the global top-k is in its salt bucket's
+    top-k (same value always hashes to the same salt, so TOPK_DISTINCT stays
+    exact too), and per-group aggregation state drops from the whole group to
+    k values per salt — the difference between a hot key OOMing one task and
+    a bounded buffer at 10^9-row groups."""
+    n_salt = 32
+    val = topk.arg.to_column()
+    distinct = isinstance(topk, TopKDistinct)
+    salt = F.pmod(F.hash(val), F.lit(n_salt)).alias("__salt")
+    collect = F.collect_set(F.col("__tv")) if distinct else F.collect_list(F.col("__tv"))
+    lvl1 = (
+        df.select(*group_cols, val.alias("__tv"), salt)
+        .groupBy(*[F.col(c) for c in _group_names(sb, windowed)], F.col("__salt"))
+        .agg(F.slice(F.sort_array(collect, asc=False), 1, topk.k).alias("__partial"))
+    )
+    merged = F.flatten(F.collect_list(F.col("__partial")))
+    if distinct:
+        merged = F.array_distinct(merged)
+    return lvl1.groupBy(*[F.col(c) for c in _group_names(sb, windowed)]).agg(
+        F.slice(F.sort_array(merged, asc=False), 1, topk.k).alias(topk.output_name())
+    )
+
+
+def _group_names(sb: SelectBuilder, windowed: bool) -> list[str]:
+    return (["__window"] if windowed else []) + [g.output_name() for g in sb.group_by]
+
+
 def _lower_aggregate(
     sb: SelectBuilder, df: DataFrame, ts_col: str | None, order_cols: list[str]
 ) -> DataFrame:
@@ -407,6 +440,13 @@ def _lower_aggregate(
         and not sb.having_exprs
     ):
         out = _lower_histogram_twolevel(sb, df, group_cols, agg_fields[0], windowed)
+    elif (
+        not df.isStreaming
+        and len(agg_fields) == 1
+        and isinstance(agg_fields[0], TopK)  # covers TopKDistinct (subclass)
+        and not sb.having_exprs
+    ):
+        out = _lower_topk_twolevel(sb, df, group_cols, agg_fields[0], windowed)
     else:
         agg_cols = [f.output() for f in agg_fields]
         if not agg_cols and not hidden_cols:
