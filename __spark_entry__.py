@@ -293,6 +293,78 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_select(q, sources=src)
 
 
+def q_bool_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IS TRUE / IS FALSE conditionals (reference: conditionals.go IsTrue/IsFalse)
+    from ksql_spark import F, RawColumn, STREAM, Schema, Select, compile_select
+
+    src = _load(spark, sf_dir, "events")
+    q = (
+        Select(F("event_id"), RawColumn(Fn.col("value") > 50, "is_big"))
+        .From(Schema("events", STREAM))
+        .Where(
+            RawColumn(Fn.col("value") > 50, "big").IsTrue(),
+            RawColumn(Fn.col("event_type") == "click", "clk").IsFalse(),
+        )
+    )
+    return compile_select(q, sources=src)
+
+
+def q_ddl_insert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL + DML lifecycle: CREATE STREAM with declared SchemaFields ->
+    INSERT VALUES (reference: create_builder.go:132-209,
+    insert_builder.go:56-161) -> pull read.  Oracle = the same VALUES."""
+    from ksql_spark import (
+        Catalog,
+        Create,
+        F,
+        Insert,
+        KType,
+        STREAM,
+        Schema,
+        SchemaField,
+        Select,
+        compile_select,
+    )
+    from ksql_spark.streaming.engine import PersistentQueryManager
+
+    work = tempfile.mkdtemp(prefix="ksql_driver_ddl_")
+    cat = Catalog(spark, root=os.path.join(work, "catalog"))
+    mgr = PersistentQueryManager(
+        spark, cat, workdir=os.path.join(work, "engine"), enable_metrics=False
+    )
+    cat.create(
+        Create(STREAM, "tx").SchemaFields(
+            SchemaField("id", KType.BIGINT),
+            SchemaField("amount", KType.DOUBLE),
+            SchemaField("tag", KType.STRING),
+        )
+    )
+    mgr.insert(
+        Insert(STREAM, "tx").Rows(
+            {"id": 1, "amount": 10.5, "tag": "a"},
+            {"id": 2, "amount": 20.25, "tag": "b"},
+            {"id": 3, "amount": 30.0, "tag": "a"},
+        )
+    )
+    q = Select(F("id"), F("amount"), F("tag")).From(Schema("tx", STREAM))
+    return compile_select(q, spark=spark, catalog=cat)
+
+
+def q_select_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # typed-struct projection (reference: SelectStruct, select_builder.go:264-285)
+    from ksql_spark import KType, STREAM, Schema, SchemaField, SelectStruct, compile_select
+
+    src = _load(spark, sf_dir, "lineitem")
+    q = SelectStruct(
+        [
+            SchemaField("l_orderkey", KType.BIGINT),
+            SchemaField("l_quantity", KType.DOUBLE),
+            SchemaField("l_returnflag", KType.STRING),
+        ]
+    ).From(Schema("lineitem", STREAM))
+    return compile_select(q, sources=src)
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _load(spark, sf_dir, "events")
     return src["events"].select(
@@ -804,13 +876,21 @@ def q_embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # mapInPandas plumbing with deterministic stub decode; rows-only check
+    # mapInPandas plumbing with deterministic stub decode.  The stub features
+    # are md5-derived (v * 2^-16, exactly representable in float32), so the
+    # DuckDB oracle recomputes them bit-for-bit — the Arrow batch plumbing,
+    # schema contract, and feature math all hash-compare.
     from ksql_spark.operators.multimodal import extract_features, synthesize_media
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     media = synthesize_media(spark, n=64, seed=42)
     feats = extract_features(media, decode_stub=True)
-    return feats.select("media_id", "kind", "n_bytes", Fn.round(Fn.element_at("features", 1), 6).alias("f0"))
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        Fn.round(Fn.element_at("features", 1).cast("double"), 6).alias("f0"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -841,6 +921,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct": q_distinct,
         "scalar_funcs": q_scalar_funcs,
         "json_extract": q_json_extract,
+        "bool_ops": q_bool_ops,
+        "ddl_insert_roundtrip": q_ddl_insert_roundtrip,
+        "select_struct": q_select_struct,
         "collect_list": q_collect_list,
         "collect_set": q_collect_set,
         "latest_by_offset": q_latest_by_offset,
@@ -992,6 +1075,16 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": """
             SELECT event_id, (props::json ->> 'k')::bigint AS prop_k FROM events
         """,
+        "bool_ops": """
+            SELECT event_id, value > 50 AS is_big FROM events
+            WHERE (value > 50) IS TRUE AND (event_type = 'click') IS FALSE
+        """,
+        "ddl_insert_roundtrip": """
+            SELECT * FROM (VALUES (1::bigint, 10.5::double, 'a'),
+                                  (2::bigint, 20.25::double, 'b'),
+                                  (3::bigint, 30.0::double, 'a')) t(id, amount, tag)
+        """,
+        "select_struct": "SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem",
         "collect_list": """
             SELECT l_orderkey,
                    cast(generate_subscripts(line_numbers, 1) - 1 AS bigint) AS pos,
@@ -1090,5 +1183,16 @@ def oracle_sql() -> dict[str, str]:
         "embed_neardup": sql_embed_neardup_planted(threshold=0.99),
         "embed_neardup_exact": sql_embed_neardup_planted(threshold=0.99),
         "embed_lsh_ann": sql_embed_lsh_ann(k=10, n_planes=8),
-        # multimodal_features: mapInPandas stub — rows-only check (by design)
+        "multimodal_features": """
+            WITH m AS (
+                SELECT range AS media_id,
+                       (['image','audio','video'])[(range % 3)::int + 1] AS kind,
+                       'payload-' || md5(concat(42, range)) AS payload_str
+                FROM range(64)
+            )
+            SELECT media_id, kind,
+                   length(payload_str)::bigint AS n_bytes,
+                   round((('0x' || substr(md5(payload_str), 1, 4))::int) / 65536.0, 6) AS f0
+            FROM m
+        """,
     }

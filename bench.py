@@ -39,11 +39,15 @@ HEADLINE = [
     "window_hopping",
     "window_session",
     "streaming_tumbling_changelog",
+    "streaming_emit_final",
+    "streaming_session_changelog",
+    "streaming_stream_stream_join",
     "text_stats",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "embed_cosine_topk",
+    "embed_neardup",
     "embed_lsh_ann",
 ]
 
