@@ -442,6 +442,7 @@ def embedding_neardup_pairs_lsh(
     bands: int = 8,
     rows_per_band: int = 6,
     n_dims: int | None = None,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Cosine near-dup pairs via banded random-hyperplane LSH — the scale path.
 
@@ -465,7 +466,7 @@ def embedding_neardup_pairs_lsh(
     engine-portable, no RNG.
     """
     from ..functions.vectors import cosine, dot, vec_lit
-    from .similarity import hyperplanes
+    from .similarity import band_values_arrow, hyperplanes
 
     if n_dims is None:
         n_dims = len(df.select(vec_col).first()[0])
@@ -474,19 +475,28 @@ def embedding_neardup_pairs_lsh(
     df = _ensure_parallel(df, id_col)
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
 
-    def band_val(b: int) -> Column:
-        out = F.lit(0).cast("long")
-        for j in range(rows_per_band):
-            w = planes[b * rows_per_band + j]
-            out = out + F.when(dot(F.col("v"), vec_lit(w)) >= 0, F.lit(1 << j)).otherwise(
-                F.lit(0)
-            ).cast("long")
-        return out
+    if vectorized:
+        # scale path: one numpy matmul per Arrow batch for all plane dots
+        banded = band_values_arrow(v, "id", "v", planes, bands, rows_per_band).select(
+            "id", F.posexplode("bands").alias("band_id", "band_val")
+        )
+    else:
+        # pure-built-in path: bit-deterministic vs the DuckDB mirror oracle
+        def band_val(b: int) -> Column:
+            out = F.lit(0).cast("long")
+            for j in range(rows_per_band):
+                w = planes[b * rows_per_band + j]
+                out = out + F.when(dot(F.col("v"), vec_lit(w)) >= 0, F.lit(1 << j)).otherwise(
+                    F.lit(0)
+                ).cast("long")
+            return out
 
-    banded = v.select(
-        "id",
-        F.posexplode(F.array(*[band_val(b) for b in range(bands)])).alias("band_id", "band_val"),
-    )
+        banded = v.select(
+            "id",
+            F.posexplode(F.array(*[band_val(b) for b in range(bands)])).alias(
+                "band_id", "band_val"
+            ),
+        )
 
     l = banded.alias("l")
     r = banded.alias("r")

@@ -52,6 +52,46 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def band_values_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+    bands: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """Vectorized sign-bit band values: (id, bands array<long>) via one numpy
+    matmul per Arrow batch.
+
+    The built-in-HOF dot product (``functions.vectors.dot``) is interpreted —
+    O(dims x planes) expression evaluations per row (~3k for 64-dim x 48
+    planes).  At corpus scale (10^9 vectors) that is the signature bottleneck;
+    one BLAS matmul per Arrow batch computes every plane projection at
+    hardware speed.  Sign decisions match the HOF path except for dot
+    products within float-rounding distance of 0 (different summation
+    order); a flipped bit only perturbs candidate generation, and the
+    exact-cosine verification stage keeps precision exact either way.
+    """
+    import numpy as np
+    import pandas as pd
+
+    plane_mat = np.asarray(planes, dtype=np.float64).T  # (dims, n_planes)
+    weights = 1 << np.arange(rows_per_band, dtype=np.int64)
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame({"id": [], "bands": []})
+                continue
+            vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            signs = (vecs @ plane_mat) >= 0  # (n, planes)
+            packed = (signs.reshape(len(pdf), bands, rows_per_band) * weights).sum(axis=2)
+            yield pd.DataFrame({"id": pdf[id_col], "bands": list(packed.astype("int64"))})
+
+    out_schema = f"id {dict(df.dtypes)[id_col]}, bands array<bigint>"
+    return df.select(id_col, vec_col).mapInPandas(run, schema=out_schema)
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -50,3 +50,22 @@ def test_bucket_assignment_stable(spark, emb):
     assert sorted(map(tuple, b1.collect())) == sorted(map(tuple, b2.collect()))
     n_buckets = b1.select("lsh_bucket").distinct().count()
     assert 1 < n_buckets <= 64
+
+
+def test_band_values_arrow_matches_hof(spark):
+    """The numpy-vectorized plane projection and the built-in-HOF path must
+    produce identical near-dup pair sets (signs can only differ for dots
+    within float rounding of 0, which the exact-verify stage absorbs)."""
+    import math
+
+    from ksql_spark.operators.dedup import embedding_neardup_pairs_lsh
+
+    rows = [(i, [math.sin(i * 3.7 + d) for d in range(16)]) for i in range(30)]
+    rows += [(500 + i, [x * 1.0001 for x in rows[i][1]]) for i in range(0, 30, 6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = embedding_neardup_pairs_lsh(df, threshold=0.99, n_dims=16, vectorized=True)
+    b = embedding_neardup_pairs_lsh(df, threshold=0.99, n_dims=16, vectorized=False)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+    assert len(ra) >= 5  # the scaled copies (cosine == 1.0) are all found
