@@ -759,6 +759,56 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mgr.queries["user_event_pairs"].sink.read_data(spark)
 
 
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a skewed key (event_type has only a
+    handful of values — every key is hot).  Oracle = plain GROUP BY; the
+    salted decomposition must be algebraically exact."""
+    from ksql_spark.streaming.skew import salted_two_phase_agg
+
+    src = _load(spark, sf_dir, "events")
+    out = salted_two_phase_agg(
+        src["events"],
+        keys=["event_type"],
+        aggs={
+            "cnt": ("count", "event_id"),
+            "sum_val": ("sum", "value"),
+            "min_val": ("min", "value"),
+            "max_val": ("max", "value"),
+            "avg_val": ("avg", "value"),
+        },
+        salt_buckets=16,
+        salt_cols=["event_id"],
+    )
+    return out.select(
+        "event_type",
+        "cnt",
+        Fn.round("sum_val", 4).alias("sum_val"),
+        Fn.round("min_val", 6).alias("min_val"),
+        Fn.round("max_val", 6).alias("max_val"),
+        Fn.round("avg_val", 6).alias("avg_val"),
+    )
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join: skewed fact side salted, small side exploded across
+    buckets.  Oracle = the plain join + aggregation."""
+    from ksql_spark.streaming.skew import salted_join
+
+    src = _load(spark, sf_dir, "orders", "customer")
+    joined = salted_join(
+        src["orders"].withColumnRenamed("o_custkey", "c_custkey"),
+        src["customer"].select("c_custkey", "c_mktsegment"),
+        key="c_custkey",
+        salt_buckets=8,
+        left_salt_cols=["o_orderkey"],
+    )
+    out = joined.groupBy("c_mktsegment").agg(
+        Fn.count(Fn.lit(1)).alias("n_orders"),
+        Fn.round(Fn.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # training-data operators
 # ---------------------------------------------------------------------------
@@ -938,6 +988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_emit_final": streaming_emit_final,
         "streaming_session_changelog": streaming_session_changelog,
         "streaming_stream_stream_join": streaming_stream_stream_join,
+        "skew_salted_agg": q_skew_salted_agg,
+        "skew_salted_join": q_skew_salted_join,
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1162,6 +1214,20 @@ def oracle_sql() -> dict[str, str]:
              AND r.ts >= l.ts - INTERVAL '300 seconds'
              AND r.ts <= l.ts + INTERVAL '300 seconds'
             WHERE l.event_id < r.event_id
+        """,
+        "skew_salted_agg": """
+            SELECT event_type, count(event_id) AS cnt,
+                   round(sum(value), 4) AS sum_val,
+                   round(min(value), 6) AS min_val,
+                   round(max(value), 6) AS max_val,
+                   round(avg(value), 6) AS avg_val
+            FROM events GROUP BY event_type
+        """,
+        "skew_salted_join": """
+            SELECT c.c_mktsegment, count(*) AS n_orders,
+                   round(sum(o.o_totalprice), 2) AS revenue
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
         """,
         "text_stats": f"""
             SELECT doc_id,
