@@ -900,8 +900,12 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the planted similarity)
     from ksql_spark.operators.dedup import embedding_neardup_pairs_lsh
 
+    # r=12 bits/band: P[band collision] at the planted similarity (~0.999)
+    # is 0.986^12 = 0.84 per band (miss over 6 bands ~ 1.5e-5), while a
+    # natural cos~0.5 pair collides with prob ~0.8% per band — the candidate
+    # set stays ~4% of n² instead of ~50% at r=6
     return embedding_neardup_pairs_lsh(
-        _embeddings_planted(spark, sf_dir), threshold=0.99, bands=8, rows_per_band=6, n_dims=64
+        _embeddings_planted(spark, sf_dir), threshold=0.99, bands=6, rows_per_band=12, n_dims=64
     )
 
 

@@ -29,7 +29,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pyspark import StorageLevel
+
 from ..functions.text import fingerprint, normalize_text, portable_hash60
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    """Persist a signature table that a self-join will scan from both sides.
+
+    Without this, Spark re-executes the signature subtree (md5 shingling /
+    hyperplane projection) once per join branch — the most expensive pass in
+    every LSH operator runs 2-4x.  MEMORY_AND_DISK keeps the win at any
+    scale (narrow signature tables spill gracefully); Spark evicts LRU, so
+    the one-shot-operator pattern does not leak executors' memory.
+    """
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def _ensure_parallel(df: DataFrame, key_col: str) -> DataFrame:
@@ -176,8 +190,10 @@ def ngram_jaccard_pairs(
     candidates.
     """
     df = _ensure_parallel(df, id_col)
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    sh = _persist(
+        df.select(
+            F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
+        )
     )
     l = sh.alias("l")
     r = sh.alias("r")
@@ -247,6 +263,11 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+    # persist the NARROW banded table only: the self-join scans it twice, and
+    # without the persist the whole md5 signature pass re-executes per branch.
+    # The wide shingle table is deliberately NOT persisted — columnar-caching
+    # array<string> columns costs more than recomputing the shingle split.
+    banded = _persist(banded)
 
     l = banded.alias("l")
     rt = banded.alias("r")
@@ -335,7 +356,7 @@ def simhash_pairs(
     distance d shares at least one exact segment) — same verification stage.
     """
     df = _ensure_parallel(df, id_col)
-    s = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh"))
+    s = _persist(df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh")))
     l = s.alias("l")
     r = s.alias("r")
     return (
@@ -381,6 +402,7 @@ def simhash_pairs_blocked(
             )
         ).alias("seg"),
     ).select("id", "sh", "seg.seg_id", "seg.seg_val")
+    segs = _persist(segs)
     l = segs.alias("l")
     r = segs.alias("r")
     cand = (
@@ -473,12 +495,14 @@ def embedding_neardup_pairs_lsh(
     planes = hyperplanes(bands * rows_per_band, n_dims)
 
     df = _ensure_parallel(df, id_col)
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    v = _persist(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
 
     if vectorized:
         # scale path: one numpy matmul per Arrow batch for all plane dots
-        banded = band_values_arrow(v, "id", "v", planes, bands, rows_per_band).select(
-            "id", F.posexplode("bands").alias("band_id", "band_val")
+        banded = _persist(
+            band_values_arrow(v, "id", "v", planes, bands, rows_per_band).select(
+                "id", F.posexplode("bands").alias("band_id", "band_val")
+            )
         )
     else:
         # pure-built-in path: bit-deterministic vs the DuckDB mirror oracle
@@ -491,11 +515,13 @@ def embedding_neardup_pairs_lsh(
                 ).cast("long")
             return out
 
-        banded = v.select(
-            "id",
-            F.posexplode(F.array(*[band_val(b) for b in range(bands)])).alias(
-                "band_id", "band_val"
-            ),
+        banded = _persist(
+            v.select(
+                "id",
+                F.posexplode(F.array(*[band_val(b) for b in range(bands)])).alias(
+                    "band_id", "band_val"
+                ),
+            )
         )
 
     l = banded.alias("l")
