@@ -350,6 +350,67 @@ def q_ddl_insert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_select(q, spark=spark, catalog=cat)
 
 
+def q_catalog_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL lifecycle in one verifiable query: CREATE two streams, INSERT
+    VALUES into one, INSERT ... AS SELECT (filtered) into the other, DROP a
+    third, then return LIST + DESCRIBE facts as rows (reference:
+    insert_builder.go AS SELECT, list_builder.go:19-41, describe_builder.go,
+    drop_builder.go:21-49).  Oracle = the expected catalog state as VALUES."""
+    from ksql_spark import (
+        Catalog,
+        Create,
+        Drop,
+        F,
+        Insert,
+        KType,
+        STREAM,
+        Schema,
+        SchemaField,
+        Select,
+    )
+    from ksql_spark.streaming.engine import PersistentQueryManager
+
+    work = tempfile.mkdtemp(prefix="ksql_driver_cat_")
+    cat = Catalog(spark, root=os.path.join(work, "catalog"))
+    mgr = PersistentQueryManager(
+        spark, cat, workdir=os.path.join(work, "engine"), enable_metrics=False
+    )
+    fields = [
+        SchemaField("id", KType.BIGINT),
+        SchemaField("amount", KType.DOUBLE),
+    ]
+    cat.create(Create(STREAM, "src").SchemaFields(*fields))
+    cat.create(Create(STREAM, "big").SchemaFields(*fields))
+    cat.create(Create(STREAM, "doomed").SchemaFields(SchemaField("x", KType.INT)))
+    mgr.insert(
+        Insert(STREAM, "src").Rows(
+            {"id": 1, "amount": 5.0},
+            {"id": 2, "amount": 50.0},
+            {"id": 3, "amount": 500.0},
+        )
+    )
+    # INSERT ... AS SELECT with a filter
+    mgr.insert(
+        Insert(STREAM, "big").AsSelect(
+            Select(F("id"), F("amount")).From(Schema("src", STREAM)).Where(F("amount").Greater(10))
+        )
+    )
+    mgr.drop("doomed")
+
+    rows = []
+    for rel in cat.list():
+        desc = cat.describe(rel.name)
+        rows.append(
+            (
+                rel.name,
+                rel.ref.value,
+                len(desc["fields"]),
+                int(cat.read(rel.name).count()),
+            )
+        )
+    return spark.createDataFrame(rows, "name string, kind string, n_fields int, n_rows int")
+
+
 def q_select_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # typed-struct projection (reference: SelectStruct, select_builder.go:264-285)
     from ksql_spark import KType, STREAM, Schema, SchemaField, SelectStruct, compile_select
@@ -977,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "bool_ops": q_bool_ops,
         "ddl_insert_roundtrip": q_ddl_insert_roundtrip,
+        "catalog_lifecycle": q_catalog_lifecycle,
         "select_struct": q_select_struct,
         "collect_list": q_collect_list,
         "collect_set": q_collect_set,
@@ -1139,6 +1201,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (VALUES (1::bigint, 10.5::double, 'a'),
                                   (2::bigint, 20.25::double, 'b'),
                                   (3::bigint, 30.0::double, 'a')) t(id, amount, tag)
+        """,
+        "catalog_lifecycle": """
+            SELECT * FROM (VALUES ('big', 'STREAM', 2, 2),
+                                  ('src', 'STREAM', 2, 3)) t(name, kind, n_fields, n_rows)
         """,
         "select_struct": "SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem",
         "collect_list": """

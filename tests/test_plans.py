@@ -1,0 +1,121 @@
+"""Physical-plan-shape regression tests (SURVEY.md §4).
+
+Correctness tests prove the small-scale answer; these prove the plan would
+survive 100x data.  Each test pins a plan property that, if silently lost
+(an optimizer regression, a refactor that breaks pushdown or broadcasts),
+turns a scale-safe operator into a scale-killer long before any result
+changes.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as Fn
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def sf(spark, tmp_path_factory):
+    """Small parquet fixtures on disk so scan-level properties are real."""
+    root = tmp_path_factory.mktemp("plans")
+    spark.range(10_000).select(
+        Fn.col("id"),
+        (Fn.col("id") % 100).alias("k"),
+        (Fn.col("id") * 2.5).alias("v"),
+        Fn.concat(Fn.lit("user"), (Fn.col("id") % 50).cast("string")).alias("name"),
+    ).write.parquet(str(root / "fact"))
+    spark.range(50).select(
+        Fn.col("id").alias("k"),
+        Fn.concat(Fn.lit("dim"), Fn.col("id").cast("string")).alias("label"),
+    ).write.parquet(str(root / "dim"))
+    return root
+
+
+def test_filter_and_projection_reach_the_scan(spark, sf):
+    df = (
+        spark.read.parquet(str(sf / "fact"))
+        .filter(Fn.col("k") == 7)
+        .select("id", "v")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(k), EqualTo(k,7)]" in plan
+    # column pruning: the scan must not read the unused 'name' column
+    assert "name" not in plan.split("ReadSchema:")[1].splitlines()[0]
+
+
+def test_small_dimension_join_broadcasts(spark, sf):
+    fact = spark.read.parquet(str(sf / "fact"))
+    dim = spark.read.parquet(str(sf / "dim"))
+    plan = plan_of(fact.join(dim, "k"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cosine_topk_avoids_full_sort(spark, sf):
+    from ksql_spark.operators.similarity import cosine_topk
+
+    emb = spark.range(1000).select(
+        Fn.col("id").alias("vec_id"),
+        Fn.array(*[Fn.rand(seed=i) for i in range(8)]).alias("embedding"),
+    )
+    plan = plan_of(cosine_topk(emb, [0.1] * 8, k=5))
+    assert "TakeOrderedAndProject" in plan  # top-k reduce, not a global Sort
+
+
+def test_lsh_operators_have_no_cartesian_plan(spark, sf):
+    from ksql_spark.operators.dedup import (
+        embedding_neardup_pairs_lsh,
+        minhash_lsh_pairs,
+        simhash_pairs_blocked,
+    )
+
+    docs = spark.range(200).select(
+        Fn.col("id").alias("doc_id"),
+        Fn.concat(Fn.lit("some words repeated here number "), Fn.col("id").cast("string")).alias(
+            "text"
+        ),
+    )
+    emb = spark.range(200).select(
+        Fn.col("id").alias("vec_id"),
+        Fn.array(*[(Fn.col("id") * (i + 1) % 97).cast("double") for i in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    for df in (
+        minhash_lsh_pairs(docs, n_hashes=16, bands=8),
+        simhash_pairs_blocked(docs),
+        embedding_neardup_pairs_lsh(emb, n_dims=8),
+    ):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_streaming_changelog_uses_hash_aggregate(spark, sf):
+    # fixed-width aggregate buffers must stay in HashAggregate (SortAggregate
+    # map-side sorts anti-scale; see BENCH/BASELINE.md plan notes)
+    fact = spark.read.parquet(str(sf / "fact"))
+    plan = plan_of(
+        fact.groupBy("k").agg(Fn.count("id").alias("n"), Fn.sum("v").alias("s"))
+    )
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+
+
+def test_exact_dedup_is_single_shuffle(spark, sf):
+    from ksql_spark.operators.dedup import exact_dedup
+
+    docs = spark.range(500).select(
+        Fn.col("id").alias("doc_id"), Fn.concat(Fn.lit("t"), Fn.col("id") % 100).alias("text")
+    )
+    plan = plan_of(exact_dedup(docs))
+    assert plan.count("Exchange") <= 2  # partial agg + final agg exchange only
