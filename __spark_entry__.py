@@ -820,6 +820,44 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mgr.queries["user_event_pairs"].sink.read_data(spark)
 
 
+def streaming_stream_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-table join (ksqlDB's bread-and-butter enrichment): events
+    stream broadcast-joined to the customer dimension, through a CSAS
+    append changelog.  Oracle = the equivalent batch join."""
+    from ksql_spark import Catalog, Create, F, STREAM, Schema, Select, TABLE
+    from ksql_spark.streaming.engine import PersistentQueryManager
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    work = tempfile.mkdtemp(prefix="ksql_driver_stj_")
+    cat = Catalog(spark, root=os.path.join(work, "catalog"))
+    cat.register_parquet(
+        "events",
+        os.path.join(sf_dir, "events.parquet"),
+        ref=STREAM,
+        event_time_col="ts",
+        event_order_cols=["ts", "event_id"],
+    )
+    cat.register_parquet(
+        "customer", os.path.join(sf_dir, "customer.parquet"), ref=TABLE, broadcast=True
+    )
+    mgr = PersistentQueryManager(
+        spark, cat, workdir=os.path.join(work, "engine"), grace="365 days",
+        enable_metrics=False,
+    )
+    csas = Create(STREAM, "enriched").AsSelect(
+        Select(
+            F("e.event_id").Alias("event_id"),
+            F("e.event_type").Alias("event_type"),
+            F("c.c_mktsegment").Alias("segment"),
+        )
+        .From(Schema("events", STREAM).As("e"))
+        .Join(Schema("customer", TABLE).As("c"), F("e.user_id").Equal(F("c.c_custkey")))
+        .EmitChanges()
+    )
+    mgr.create_as_select(csas, available_now=True, await_termination=True)
+    return mgr.queries["enriched"].sink.read_data(spark)
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation over a skewed key (event_type has only a
     handful of values — every key is hot).  Oracle = plain GROUP BY; the
@@ -1054,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_emit_final": streaming_emit_final,
         "streaming_session_changelog": streaming_session_changelog,
         "streaming_stream_stream_join": streaming_stream_stream_join,
+        "streaming_stream_table_join": streaming_stream_table_join,
         "skew_salted_agg": q_skew_salted_agg,
         "skew_salted_join": q_skew_salted_join,
         "text_stats": q_text_stats,
@@ -1284,6 +1323,10 @@ def oracle_sql() -> dict[str, str]:
              AND r.ts >= l.ts - INTERVAL '300 seconds'
              AND r.ts <= l.ts + INTERVAL '300 seconds'
             WHERE l.event_id < r.event_id
+        """,
+        "streaming_stream_table_join": """
+            SELECT e.event_id, e.event_type, c.c_mktsegment AS segment
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
         """,
         "skew_salted_agg": """
             SELECT event_type, count(event_id) AS cnt,

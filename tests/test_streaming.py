@@ -264,3 +264,51 @@ def test_session_window_emit_changes_merge_tombstones(spark, workdir):
     log = pq.sink.read(spark)
     ops = {r["__op"] for r in log.collect()}
     assert "D" in ops and "U" in ops
+
+
+def test_select_with_emit_drains_changelog(spark, engine, transcripts):
+    """SelectWithEmit (reference: streams/specification.go:626-655): a push
+    query drained to completion over current data."""
+    _, tdf = transcripts
+    sb = (
+        Select(F("conv_id"), Count(F("turn_idx")).Alias("n"))
+        .From(Schema("transcripts", STREAM))
+        .GroupBy(F("conv_id"))
+        .EmitChanges()
+    )
+    got = sorted((r["conv_id"], r["n"]) for r in engine.select_with_emit(sb))
+    want = sorted(
+        map(tuple, tdf.groupBy("conv_id").agg(Fn.count("turn_idx").alias("n")).collect())
+    )
+    assert got == want
+
+
+def test_session_window_emit_final_native(spark, engine, transcripts):
+    """Session windows under EMIT FINAL use Spark's native session_window in
+    append mode — only watermark-closed sessions are emitted, each once."""
+    _, tdf = transcripts
+    from ksql_spark import SessionWindow, TimeUnit
+
+    csas = Create(TABLE, "sess_finals").AsSelect(
+        Select(F("conv_id"), Count(F("turn_idx")).Alias("n"))
+        .From(Schema("transcripts", STREAM))
+        .WindowedBy(SessionWindow(5, TimeUnit.MINUTES))
+        .GroupBy(F("conv_id"))
+        .EmitFinal()
+    )
+    engine.create_as_select(csas, available_now=True)
+    out = engine.catalog.read("sess_finals")
+    emitted = {
+        tuple(r) for r in out.select("window_start", "window_end", "conv_id", "n").collect()
+    }
+    full = (
+        tdf.groupBy(Fn.session_window("ts", "5 minutes").alias("w"), "conv_id")
+        .agg(Fn.count("turn_idx").alias("n"))
+        .select(Fn.col("w.start"), Fn.col("w.end"), "conv_id", "n")
+    )
+    complete = {tuple(r) for r in full.collect()}
+    assert emitted <= complete
+    assert out.count() == len(emitted)  # no duplicate finals
+    max_ts = tdf.agg(Fn.max("ts")).collect()[0][0]
+    closed = {t for t in complete if (max_ts - t[1]).total_seconds() > 600}
+    assert closed <= emitted
