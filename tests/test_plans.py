@@ -119,3 +119,26 @@ def test_exact_dedup_is_single_shuffle(spark, sf):
     )
     plan = plan_of(exact_dedup(docs))
     assert plan.count("Exchange") <= 2  # partial agg + final agg exchange only
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf, tmp_path):
+    """Two relations bucketed on the join key with equal bucket counts must
+    join with zero Exchange operators — the co-located-join guarantee that
+    makes fact-fact joins viable at 100 TB."""
+    from ksql_spark import Catalog, TABLE
+
+    cat = Catalog(spark, root=str(tmp_path / "cat"))
+    fact = spark.read.parquet(str(sf / "fact"))
+    dim_big = spark.range(5000).select(
+        Fn.col("id").alias("k2"), (Fn.col("id") % 7).alias("grp")
+    )
+    cat.write_bucketed("f", fact.withColumnRenamed("k", "bk"), "bk", 8, ref=TABLE)
+    cat.write_bucketed("d", dim_big.withColumnRenamed("k2", "bk"), "bk", 8, ref=TABLE)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        joined = cat.read("f").join(cat.read("d"), "bk")
+        plan = plan_of(joined)
+        assert "Exchange" not in plan  # bucket co-location: shuffle-free join
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
