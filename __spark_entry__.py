@@ -648,6 +648,7 @@ def streaming_tumbling_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         ref=STREAM,
         event_time_col="ts",
         event_order_cols=["ts", "event_id"],
+        partitions=8,
     )
     mgr = PersistentQueryManager(
         spark, cat, workdir=os.path.join(work, "engine"), grace="365 days", enable_metrics=False
@@ -702,6 +703,7 @@ def streaming_emit_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         ref=STREAM,
         event_time_col="ts",
         event_order_cols=["ts", "event_id"],
+        partitions=8,
     )
     mgr = PersistentQueryManager(
         spark, cat, workdir=os.path.join(work, "engine"), grace="30 minutes",
@@ -756,6 +758,7 @@ def streaming_session_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         ref=STREAM,
         event_time_col="ts",
         event_order_cols=["ts", "event_id"],
+        partitions=8,
     )
     mgr = PersistentQueryManager(
         spark, cat, workdir=os.path.join(work, "engine"), grace="365 days",
@@ -796,6 +799,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ref=STREAM,
             event_time_col="ts",
             event_order_cols=["ts", "event_id"],
+            partitions=8,
         )
     mgr = PersistentQueryManager(
         spark, cat, workdir=os.path.join(work, "engine"), grace="365 days",
@@ -836,6 +840,7 @@ def streaming_stream_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ref=STREAM,
         event_time_col="ts",
         event_order_cols=["ts", "event_id"],
+        partitions=8,
     )
     cat.register_parquet(
         "customer", os.path.join(sf_dir, "customer.parquet"), ref=TABLE, broadcast=True

@@ -188,6 +188,15 @@ class Catalog:
         """
         keys = [bucket_key] if isinstance(bucket_key, str) else list(bucket_key)
         table = f"ksql_bucketed_{name.lower()}"
+        # a previous session may have left the managed location behind after
+        # its in-memory catalog entry died — clear both before writing
+        self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = self.spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(warehouse.removeprefix("file:"), table)
+        if os.path.isdir(loc):
+            import shutil
+
+            shutil.rmtree(loc)
         writer = df.write.mode("overwrite").bucketBy(buckets, *keys)
         if sort_by:
             sorts = [sort_by] if isinstance(sort_by, str) else list(sort_by)

@@ -40,6 +40,7 @@ class PersistentQuery:
         self.sink = sink
         self.checkpoint = checkpoint
         self.streaming_query = None  # live StreamingQuery or None when stopped
+        self.state_partitions: int | None = None  # fixed at first start (checkpoint)
 
     def is_active(self) -> bool:
         return self.streaming_query is not None and self.streaming_query.isActive
@@ -79,6 +80,7 @@ class PersistentQueryManager:
         processing_time: str | None = None,
         await_termination: bool = True,
         max_files_per_trigger: int | None = None,
+        state_partitions: int | None = None,
     ) -> PersistentQuery:
         """CREATE STREAM|TABLE <name> AS SELECT ... — launch the pipeline.
 
@@ -101,6 +103,10 @@ class PersistentQueryManager:
             sink = ExactlyOnceParquetSink(sink_root, op=op, lineage=self.lineage)
             checkpoint = os.path.join(self.workdir, "checkpoints", name.lower())
             pq = PersistentQuery(name, create, sink, checkpoint)
+            # state-op parallelism (the ksqlDB PARTITIONS analog): explicit
+            # arg, else the source relation's declared partition count, else
+            # session default.  Baked into the checkpoint at first start.
+            pq.state_partitions = state_partitions or self._declared_partitions(sb)
             self.queries[name] = pq
 
         self._register_output_relation(pq)
@@ -141,6 +147,11 @@ class PersistentQueryManager:
                 df = df.repartition(src.partitions, F.col(src.partition_key))
         return df
 
+    def _declared_partitions(self, sb) -> int | None:
+        if sb.from_expr is not None and self.catalog.exists(sb.from_expr.name):
+            return self.catalog.get(sb.from_expr.name).partitions
+        return None
+
     def _start(
         self,
         pq: PersistentQuery,
@@ -149,18 +160,32 @@ class PersistentQueryManager:
         await_termination: bool,
         max_files_per_trigger: int | None,
     ) -> None:
-        df = self._compile_streaming(pq.create, max_files_per_trigger)
-        writer = (
-            df.writeStream.foreachBatch(pq.sink)
-            .outputMode(self._output_mode(pq.create))
-            .option("checkpointLocation", pq.checkpoint)
-            .queryName(pq.name)
-        )
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        elif processing_time:
-            writer = writer.trigger(processingTime=processing_time)
-        pq.streaming_query = writer.start()
+        # Stateful operators instantiate one state store per shuffle
+        # partition per batch; sizing that to the query's declared
+        # parallelism (instead of the session default) is the difference
+        # between paying 32 RocksDB opens for 8 partitions' worth of data
+        # and paying for exactly what the data needs.  Spark captures the
+        # value at stream start and pins it in the checkpoint.
+        conf_key = "spark.sql.shuffle.partitions"
+        old = self.spark.conf.get(conf_key)
+        if pq.state_partitions:
+            self.spark.conf.set(conf_key, str(pq.state_partitions))
+        try:
+            df = self._compile_streaming(pq.create, max_files_per_trigger)
+            writer = (
+                df.writeStream.foreachBatch(pq.sink)
+                .outputMode(self._output_mode(pq.create))
+                .option("checkpointLocation", pq.checkpoint)
+                .queryName(pq.name)
+            )
+            if available_now:
+                writer = writer.trigger(availableNow=True)
+            elif processing_time:
+                writer = writer.trigger(processingTime=processing_time)
+            pq.streaming_query = writer.start()
+        finally:
+            if pq.state_partitions:
+                self.spark.conf.set(conf_key, old)
         if await_termination and available_now:
             pq.streaming_query.awaitTermination()
             pq.streaming_query = None
