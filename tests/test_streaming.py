@@ -312,3 +312,71 @@ def test_session_window_emit_final_native(spark, engine, transcripts):
     max_ts = tdf.agg(Fn.max("ts")).collect()[0][0]
     closed = {t for t in complete if (max_ts - t[1]).total_seconds() > 600}
     assert closed <= emitted
+
+
+def test_session_changelog_kill_resume_exactly_once(spark, workdir):
+    """Kill/resume over the applyInPandasWithState session operator: custom
+    state must restore from the checkpoint and the resumed changelog must
+    equal batch recomputation (no dupes, no gaps, tombstones intact)."""
+    import time as _time
+
+    from ksql_spark import SessionWindow, TimeUnit
+
+    base = Fn.lit("2026-01-01 00:00:00").cast("timestamp")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "conv_id string, off long").select(
+            "conv_id",
+            (base + Fn.col("off") * Fn.expr("INTERVAL 60 SECONDS")).alias("ts"),
+            Fn.col("off").alias("turn_idx"),
+        )
+
+    path = f"{workdir}/skr_transcripts"
+    # three files -> three micro-batches; later batches extend + merge sessions
+    mk([("a", 0), ("a", 40), ("b", 5)]).coalesce(1).write.mode("append").parquet(path)
+    _time.sleep(1.1)
+    mk([("a", 20), ("b", 6)]).coalesce(1).write.mode("append").parquet(path)
+    _time.sleep(1.1)
+    mk([("a", 41), ("c", 100)]).coalesce(1).write.mode("append").parquet(path)
+
+    cat = Catalog(spark, root=f"{workdir}/skr_cat")
+    cat.register_parquet(
+        "skr_transcripts",
+        path,
+        ref=STREAM,
+        event_time_col="ts",
+        event_order_cols=["ts", "turn_idx"],
+        metadata={"max_files_per_trigger": 1},
+    )
+    eng = PersistentQueryManager(
+        spark, cat, workdir=f"{workdir}/skr_eng", grace="10 minutes", enable_metrics=False
+    )
+    csas = Create(TABLE, "skr_stats").AsSelect(
+        Select(F("conv_id"), Count(F("turn_idx")).Alias("n"))
+        .From(Schema("skr_transcripts", STREAM))
+        .WindowedBy(SessionWindow(30, TimeUnit.MINUTES))
+        .GroupBy(F("conv_id"))
+        .EmitChanges()
+    )
+    pq = eng.create_as_select(csas, available_now=True, await_termination=False)
+    deadline = time.time() + 60
+    while not pq.sink.committed_batches() and time.time() < deadline:
+        time.sleep(0.1)
+    pq.streaming_query.stop()  # hard kill mid-stream
+    pq.streaming_query.awaitTermination()
+    pq.streaming_query = None
+    assert pq.sink.committed_batches(), "no epoch committed before kill"
+
+    eng.resume("skr_stats", available_now=True, await_termination=True)
+    state = sorted(map(tuple, eng.catalog.read("QUERYABLE_skr_stats").collect()))
+    want = sorted(
+        map(
+            tuple,
+            spark.read.parquet(path)
+            .groupBy(Fn.session_window("ts", "30 minutes").alias("w"), "conv_id")
+            .agg(Fn.count("turn_idx").alias("n"))
+            .select(Fn.col("w.start"), Fn.col("w.end"), "conv_id", "n")
+            .collect(),
+        )
+    )
+    assert state == want
