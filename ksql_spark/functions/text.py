@@ -39,11 +39,20 @@ def portable_hash60(col: Column) -> Column:
 
 
 def normalize_text(col: Column) -> Column:
-    """Canonical form: lowercase, strip non-alphanumerics, collapse spaces."""
-    c = F.lower(col)
-    c = F.regexp_replace(c, r"[^a-z0-9 ]", " ")
-    c = F.regexp_replace(c, r" +", " ")
-    return F.trim(c)
+    """Canonical form: lowercase, strip non-alphanumerics, collapse spaces.
+
+    Formulated as split-on-separator-runs + concat_ws rather than two
+    ``regexp_replace`` passes: identical output (every non-[a-z0-9] run
+    becomes one space, edges trimmed), but RegExpReplace's
+    Matcher.appendReplacement path measurably ANTI-scales across executor
+    threads on JDK 17 (22s at 2 cores -> 25s at 8 on a 312k-doc corpus,
+    ~70us/row), while split+concat runs the same corpus in 4s and scales
+    with cores.  DuckDB twin: SQL_NORMALIZE (regex there is fine — the
+    oracle runs single-threaded on small data).
+    """
+    return F.concat_ws(
+        " ", F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda x: x != "")
+    )
 
 
 def words(col: Column) -> Column:

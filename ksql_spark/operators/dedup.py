@@ -149,21 +149,35 @@ def minhash_signature(text: Column, n_hashes: int = 32, shingle_n: int = 3) -> C
 
     One md5 per shingle (the portable base hash, mod 2^31-1), then k cheap
     universal-hash mixes ``(a_k*h + b_k) mod M31`` — all products stay under
-    2^62, no overflow on any engine.  The base-hash array is bound ONCE via
-    a single-element ``transform`` lambda so the md5 pass is not duplicated
-    per hash function (a 48x expression-evaluation win).
+    2^62, no overflow on any engine.  Two tree-size disciplines matter here:
+
+    * the base-hash array is bound ONCE via a single-element ``transform``
+      lambda so the md5 pass is not duplicated per hash function;
+    * the k mixes are driven by LITERAL CONST ARRAYS indexed inside one
+      nested ``transform`` instead of k unrolled expressions — the logical
+      plan stays O(1) in ``n_hashes``.  The unrolled form made Catalyst
+      analysis/optimization (driver-side, single-threaded) the job's serial
+      bottleneck: at 48 hashes it dominated wall time and capped N->4N
+      scaling at ~0.35 regardless of executor count.
     """
     sh = word_shingles(text, shingle_n)
     base = F.transform(sh, lambda s: F.pmod(portable_hash60(s), F.lit(M31)))
     consts = _mix_consts(n_hashes)
-
-    def mix(a: int, c: int):
-        # closure factory: pyspark counts default args as lambda parameters,
-        # so `lambda h, a=a` would become an invalid 2-arg HOF lambda
-        return lambda h: F.pmod(a * h + c, F.lit(M31))
+    a_arr = F.array(*[F.lit(a) for a, _ in consts])
+    b_arr = F.array(*[F.lit(b) for _, b in consts])
 
     def build(b: Column) -> Column:
-        return F.array(*[F.array_min(F.transform(b, mix(a, c))) for a, c in consts])
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(n_hashes)),
+            lambda k: F.array_min(
+                F.transform(
+                    b,
+                    lambda h: F.pmod(
+                        F.element_at(a_arr, k) * h + F.element_at(b_arr, k), F.lit(M31)
+                    ),
+                )
+            ),
+        )
 
     # bind `base` to a lambda variable -> evaluated once per row
     return F.element_at(F.transform(F.array(base), build), 1)

@@ -380,3 +380,61 @@ def test_session_changelog_kill_resume_exactly_once(spark, workdir):
         )
     )
     assert state == want
+
+
+def test_session_changelog_backward_extension(spark, workdir):
+    """A late-but-within-grace row EARLIER than an existing session's start
+    must extend the session backwards: new identity upserted, stale identity
+    tombstoned, aggregates merged."""
+    import time as _time
+
+    from ksql_spark import SessionWindow, TimeUnit
+
+    base = Fn.lit("2026-01-01 00:00:00").cast("timestamp")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "conv_id string, off long").select(
+            "conv_id",
+            (base + Fn.col("off") * Fn.expr("INTERVAL 60 SECONDS")).alias("ts"),
+            Fn.col("off").alias("turn_idx"),
+        )
+
+    path = f"{workdir}/bk_transcripts"
+    mk([("a", 30), ("a", 31)]).coalesce(1).write.mode("append").parquet(path)
+    _time.sleep(1.1)
+    # earlier event, within the session gap of the existing start
+    mk([("a", 10)]).coalesce(1).write.mode("append").parquet(path)
+
+    cat = Catalog(spark, root=f"{workdir}/bk_cat")
+    cat.register_parquet(
+        "bk_transcripts",
+        path,
+        ref=STREAM,
+        event_time_col="ts",
+        event_order_cols=["ts", "turn_idx"],
+        metadata={"max_files_per_trigger": 1},
+    )
+    eng = PersistentQueryManager(
+        spark, cat, workdir=f"{workdir}/bk_eng", grace="2 hours", enable_metrics=False
+    )
+    csas = Create(TABLE, "bk_stats").AsSelect(
+        Select(F("conv_id"), Count(F("turn_idx")).Alias("n"))
+        .From(Schema("bk_transcripts", STREAM))
+        .WindowedBy(SessionWindow(30, TimeUnit.MINUTES))
+        .GroupBy(F("conv_id"))
+        .EmitChanges()
+    )
+    eng.create_as_select(csas, available_now=True)
+    state = sorted(map(tuple, eng.catalog.read("QUERYABLE_bk_stats").collect()))
+    want = sorted(
+        map(
+            tuple,
+            spark.read.parquet(path)
+            .groupBy(Fn.session_window("ts", "30 minutes").alias("w"), "conv_id")
+            .agg(Fn.count("turn_idx").alias("n"))
+            .select(Fn.col("w.start"), Fn.col("w.end"), "conv_id", "n")
+            .collect(),
+        )
+    )
+    assert state == want
+    assert len(state) == 1  # one merged session spanning 10m..61m
