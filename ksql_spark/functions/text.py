@@ -114,7 +114,10 @@ def stopword_ratio(col: Column, lang: str = "en") -> Column:
 
 def punct_ratio(col: Column) -> Column:
     n = F.length(col)
-    p = F.length(F.regexp_replace(col, r"[^\.,;:!\?]", ""))
+    # count via translate-removal, not regexp_replace (whose
+    # Matcher.appendReplacement path anti-scales across threads — see
+    # normalize_text); length delta == number of punctuation chars
+    p = n - F.length(F.translate(col, ".,;:!?", ""))
     return F.when(n > 0, p.cast("double") / n).otherwise(F.lit(0.0))
 
 
