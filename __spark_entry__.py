@@ -359,7 +359,6 @@ def q_catalog_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark import (
         Catalog,
         Create,
-        Drop,
         F,
         Insert,
         KType,

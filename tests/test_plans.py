@@ -142,3 +142,36 @@ def test_bucketed_join_has_no_shuffle(spark, sf, tmp_path):
         assert joined.count() > 0
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_stream_table_join_broadcasts_dimension(spark, sf, tmp_path):
+    """Streaming enrich (stream-table join) must broadcast the dimension —
+    a shuffled stream-table join at 100 TB would reshuffle the firehose on
+    every micro-batch."""
+    from ksql_spark import Catalog, F, STREAM, Schema, Select, TABLE, compile_select
+
+    events = spark.range(1000).select(
+        Fn.col("id").alias("event_id"),
+        (Fn.lit("2026-01-01 00:00:00").cast("timestamp")
+         + Fn.col("id") * Fn.expr("INTERVAL 1 SECOND")).alias("ts"),
+        (Fn.col("id") % 50).alias("k"),
+    )
+    events.write.parquet(str(tmp_path / "ev"))
+    spark.range(50).select(Fn.col("id").alias("k"), Fn.lit("x").alias("label")).write.parquet(
+        str(tmp_path / "dim")
+    )
+    cat = Catalog(spark, root=str(tmp_path / "cat"))
+    cat.register_parquet("ev", str(tmp_path / "ev"), ref=STREAM, event_time_col="ts")
+    cat.register_parquet("dim", str(tmp_path / "dim"), ref=TABLE)
+    q = (
+        Select(F("e.event_id").Alias("event_id"), F("d.label").Alias("label"))
+        .From(Schema("ev", STREAM).As("e"))
+        .Join(Schema("dim", TABLE).As("d"), F("e.k").Equal(F("d.k")))
+        .EmitChanges()
+    )
+    df = compile_select(q, spark=spark, catalog=cat, streaming=True)
+    assert df.isStreaming
+    # streaming plans can't be optimized without start(); the analyzed plan
+    # must carry the broadcast hint on the dimension side
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" in plan.lower()
