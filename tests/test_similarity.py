@@ -69,3 +69,31 @@ def test_band_values_arrow_matches_hof(spark):
     rb = sorted(map(tuple, b.collect()))
     assert ra == rb
     assert len(ra) >= 5  # the scaled copies (cosine == 1.0) are all found
+
+
+def test_lsh_topk_finds_true_near_neighbors(spark):
+    """Angular LSH's guarantee is recall on genuinely CLOSE neighbors (the
+    collision probability 1 - theta/pi is only near 1 at small angles; on a
+    near-orthogonal corpus like the raw testdata, cos ~ 0.4, bucket overlap
+    is essentially random and recall@10 is meaningless).  Plant a true
+    near-duplicate per query vector and require the approximate search to
+    retrieve it at rank 1 for every query."""
+    import pyspark.sql.functions as Fn
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", Fn.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    plants = emb.filter(Fn.col("vec_id").isin(0, 7, 13)).select(
+        (Fn.col("vec_id") + 1000000).alias("vec_id"),
+        Fn.transform(
+            "embedding", lambda x, i: x + ((i % 5) - 2).cast("double") * Fn.lit(0.004)
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(plants)
+    for qid in (0, 7, 13):
+        query = list(emb.filter(Fn.col("vec_id") == qid).first()["embedding"])
+        hits = lsh_topk(
+            corpus.filter(Fn.col("vec_id") != qid), query, k=10, n_planes=8
+        ).collect()
+        assert hits[0]["vec_id"] == qid + 1000000  # the planted twin, rank 1
+        assert hits[0]["cosine_sim"] > 0.99
