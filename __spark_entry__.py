@@ -729,6 +729,52 @@ def streaming_emit_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_hopping_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window CSAS through the changelog — the streaming
+    twin of window_hopping; oracle = the batch sliding-window recompute."""
+    from ksql_spark import (
+        TABLE,
+        Catalog,
+        Count,
+        Create,
+        F,
+        HoppingWindow,
+        STREAM,
+        Schema,
+        Select,
+        TimeUnit,
+    )
+    from ksql_spark.streaming.engine import PersistentQueryManager
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    work = tempfile.mkdtemp(prefix="ksql_driver_hop_")
+    cat = Catalog(spark, root=os.path.join(work, "catalog"))
+    cat.register_parquet(
+        "events",
+        os.path.join(sf_dir, "events.parquet"),
+        ref=STREAM,
+        event_time_col="ts",
+        event_order_cols=["ts", "event_id"],
+        partitions=8,
+    )
+    mgr = PersistentQueryManager(
+        spark, cat, workdir=os.path.join(work, "engine"), grace="365 days",
+        enable_metrics=False,
+    )
+    csas = Create(TABLE, "hop_stats").AsSelect(
+        Select(F("event_type"), Count(F("event_id")).Alias("cnt"))
+        .From(Schema("events", STREAM))
+        .WindowedBy(HoppingWindow(60, 30, TimeUnit.MINUTES))
+        .GroupBy(F("event_type"))
+        .EmitChanges()
+    )
+    mgr.create_as_select(csas, available_now=True, await_termination=True)
+    state = cat.read("QUERYABLE_hop_stats")
+    return state.select(
+        _fmt("window_start").alias("window_start"), "event_type", "cnt"
+    )
+
+
 def streaming_session_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows under EMIT CHANGES — the applyInPandasWithState custom
     stateful operator (Spark's built-in session_window rejects update mode).
@@ -1094,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_session": q_window_session,
         "streaming_tumbling_changelog": streaming_tumbling_changelog,
         "streaming_emit_final": streaming_emit_final,
+        "streaming_hopping_changelog": streaming_hopping_changelog,
         "streaming_session_changelog": streaming_session_changelog,
         "streaming_stream_stream_join": streaming_stream_stream_join,
         "streaming_stream_table_join": streaming_stream_table_join,
@@ -1133,6 +1180,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type, count(event_id) AS cnt, round(sum(value), 4) AS sum_val
         FROM events GROUP BY 1, 2
+    """
+    hopping_sql = """
+        SELECT strftime(time_bucket(INTERVAL '30 minutes', ts) - (i * INTERVAL '30 minutes'),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(event_id) AS cnt
+        FROM events, range(2) r(i)
+        GROUP BY 1, 2
     """
     session_sql = """
         WITH o AS (
@@ -1299,13 +1353,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM events GROUP BY user_id, event_type) WHERE rn <= 3
         """,
         "window_tumbling": tumbling_sql,
-        "window_hopping": """
-            SELECT strftime(time_bucket(INTERVAL '30 minutes', ts) - (i * INTERVAL '30 minutes'),
-                            '%Y-%m-%d %H:%M:%S') AS window_start,
-                   event_type, count(event_id) AS cnt
-            FROM events, range(2) r(i)
-            GROUP BY 1, 2
-        """,
+        "window_hopping": hopping_sql,
+        "streaming_hopping_changelog": hopping_sql,
         "window_session": session_sql,
         "streaming_session_changelog": session_sql,
         "streaming_tumbling_changelog": tumbling_sql,
