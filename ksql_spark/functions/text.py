@@ -50,9 +50,13 @@ def normalize_text(col: Column) -> Column:
     with cores.  DuckDB twin: SQL_NORMALIZE (regex there is fine — the
     oracle runs single-threaded on small data).
     """
-    return F.concat_ws(
+    normalized = F.concat_ws(
         " ", F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda x: x != "")
     )
+    # concat_ws never returns NULL; preserve NULL-in -> NULL-out so the
+    # DuckDB twin (regexp_replace, NULL-propagating) stays bit-identical and
+    # NULL-text docs never merge with empty-text docs in exact_dedup
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(normalized)
 
 
 def words(col: Column) -> Column:
@@ -61,8 +65,13 @@ def words(col: Column) -> Column:
 
 
 def token_count_ws(col: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(words(col)).cast("bigint")
+    """Whitespace token count (NULL text -> NULL, like the DuckDB twin).
+
+    The explicit NULL guard keeps the semantics independent of
+    ``spark.sql.ansi.enabled`` (non-ANSI ``size(NULL)`` returns -1)."""
+    return F.when(col.isNull(), F.lit(None).cast("bigint")).otherwise(
+        F.size(words(col)).cast("bigint")
+    )
 
 
 def token_count_bpe(col: Column) -> Column:
@@ -104,12 +113,16 @@ def lang_id(col: Column) -> Column:
         best = F.array_max(F.array(*scores))
         return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
-    return _bound(words(col), pick)
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+        _bound(words(col), pick)
+    )
 
 
 def stopword_ratio(col: Column, lang: str = "en") -> Column:
     n = token_count_ws(col)
-    return F.when(n > 0, _stopword_hits(col, LANG_PROFILES[lang]) / n).otherwise(F.lit(0.0))
+    return F.when(n > 0, _stopword_hits(col, LANG_PROFILES[lang]) / n).otherwise(
+        F.when(col.isNull(), F.lit(None).cast("double")).otherwise(F.lit(0.0))
+    )
 
 
 def punct_ratio(col: Column) -> Column:
@@ -118,7 +131,9 @@ def punct_ratio(col: Column) -> Column:
     # Matcher.appendReplacement path anti-scales across threads — see
     # normalize_text); length delta == number of punctuation chars
     p = n - F.length(F.translate(col, ".,;:!?", ""))
-    return F.when(n > 0, p.cast("double") / n).otherwise(F.lit(0.0))
+    return F.when(n > 0, p.cast("double") / n).otherwise(
+        F.when(col.isNull(), F.lit(None).cast("double")).otherwise(F.lit(0.0))
+    )
 
 
 def mean_word_len(col: Column) -> Column:
@@ -127,7 +142,7 @@ def mean_word_len(col: Column) -> Column:
         F.size(w) > 0,
         F.aggregate(w, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)).cast("double")
         / F.size(w),
-    ).otherwise(F.lit(0.0))
+    ).otherwise(F.when(col.isNull(), F.lit(None).cast("double")).otherwise(F.lit(0.0)))
 
 
 def quality_score(col: Column) -> Column:
@@ -157,7 +172,9 @@ def quality_score(col: Column) -> Column:
             + 0.1 * clamp01((mwl - 2.0) / 8.0)
         )
 
-    return _bound(words(col), score)
+    return F.when(col.isNull(), F.lit(None).cast("double")).otherwise(
+        _bound(words(col), score)
+    )
 
 
 def fingerprint(col: Column) -> Column:
@@ -196,7 +213,8 @@ def sql_lang_id(c: str) -> str:
         for lang in sorted(LANG_PROFILES, reverse=True)
     )
     return (
-        f"CASE WHEN list_max([{structs}]).hits > 0 "
+        f"CASE WHEN {c} IS NULL THEN NULL "
+        f"WHEN list_max([{structs}]).hits > 0 "
         f"THEN list_max([{structs}]).lang ELSE 'und' END"
     )
 
@@ -215,10 +233,11 @@ def sql_quality_score(c: str) -> str:
         f"list_sum(list_transform({w}, x -> length(x)))::double / len({w}) ELSE 0.0 END)"
     )
     clamp = lambda e: f"greatest(0.0, least(1.0, {e}))"  # noqa: E731
-    return (
+    score = (
         f"0.4 * {clamp(f'{toks}::double / 50.0')} + 0.3 * {clamp(f'4.0 * {sw}')} "
         f"+ 0.2 * (1.0 - {clamp(f'5.0 * {pr}')}) + 0.1 * {clamp(f'({mwl} - 2.0) / 8.0')}"
     )
+    return f"(CASE WHEN {c} IS NULL THEN NULL ELSE {score} END)"
 
 
 def sql_fingerprint(c: str) -> str:

@@ -242,13 +242,27 @@ def compile_select(
         and isinstance(sb.window, SessionWindow)
         and sb.emit == EmitMode.CHANGES
     )
+    if session_changes and sb.having_exprs:
+        # the session changelog path cannot thread HAVING through the
+        # stateful operator (a retracted-then-refiltered changelog is not a
+        # well-defined upsert stream); reject rather than silently emit
+        # unfiltered rows — same policy as the non-algebraic-aggregate check
+        # in streaming/sessions.agg_specs_from_fields
+        raise AnalysisError(
+            "HAVING is not supported with SESSION windows under EMIT CHANGES; "
+            "use EMIT FINAL or a pull query"
+        )
 
     # watermark before any stateful streaming op (SURVEY.md §2.5)
     needs_state = streaming and (sb.window is not None or sb.group_by or sb.joins)
     if needs_state and left_is_stream:
         if ts_col is None:
             raise AnalysisError("stateful streaming query requires an event-time column")
-        if not session_changes:
+        # the session-changelog operator re-applies its own watermark on the
+        # projected event time, so the pre-aggregation watermark is skipped —
+        # UNLESS there is a join first, whose state cleanup needs the left
+        # side watermarked before the join compiles
+        if not session_changes or sb.joins:
             df = df.withWatermark(ts_col, grace)
 
     # -- joins (left-deep, SURVEY.md §2.3) ---------------------------------
@@ -302,9 +316,12 @@ def compile_select(
 
         if ts_col is None:
             raise AnalysisError("session window requires an event-time column")
+        # after a join both sides may carry the event-time column name;
+        # qualify with the left relation alias to keep the reference unambiguous
+        sess_ts = f"{sb.from_expr.effective_name()}.{ts_col}" if sb.joins else ts_col
         df = session_changelog(
             df,
-            ts_col,
+            sess_ts,
             [(g.output_name(), g.output()) for g in sb.group_by],
             sb.window.gap_seconds,
             agg_fields,

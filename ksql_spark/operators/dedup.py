@@ -34,16 +34,40 @@ from pyspark import StorageLevel
 from ..functions.text import fingerprint, normalize_text, portable_hash60
 
 
+_PERSISTED: list[DataFrame] = []
+
+
 def _persist(df: DataFrame) -> DataFrame:
     """Persist a signature table that a self-join will scan from both sides.
 
     Without this, Spark re-executes the signature subtree (md5 shingling /
     hyperplane projection) once per join branch — the most expensive pass in
     every LSH operator runs 2-4x.  MEMORY_AND_DISK keeps the win at any
-    scale (narrow signature tables spill gracefully); Spark evicts LRU, so
-    the one-shot-operator pattern does not leak executors' memory.
+    scale (narrow signature tables spill gracefully).
+
+    Every persisted frame is registered so it can be explicitly released:
+    each top-level operator calls ``cleanup_persisted()`` on entry (frames
+    from PREVIOUS invocations are dropped — a still-unconsumed old result
+    just recomputes), and pipelines can call it directly once results are
+    materialized, instead of leaking MEMORY_AND_DISK blocks for the session
+    lifetime and relying on LRU eviction.
     """
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(df)
+    return df
+
+
+def cleanup_persisted() -> int:
+    """Unpersist every frame registered by prior operator calls; returns the
+    number released.  Safe at any time: an unpersisted plan recomputes."""
+    n = 0
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to release
+            pass
+    return n
 
 
 def _ensure_parallel(df: DataFrame, key_col: str) -> DataFrame:
@@ -260,6 +284,7 @@ def ngram_jaccard_pairs(
     use ``minhash_lsh_pairs``, which bounds the compare set to LSH
     candidates.
     """
+    cleanup_persisted()
     df = _ensure_parallel(df, id_col)
     sh = _persist(
         df.select(
@@ -312,6 +337,7 @@ def minhash_lsh_pairs(
     """
     if n_hashes % bands != 0:
         raise ValueError("n_hashes must be divisible by bands")
+    cleanup_persisted()
     r = n_hashes // bands
 
     # spread per-row signature work across cores even when the source is a
@@ -440,6 +466,7 @@ def simhash_pairs(
     (split the code into max_hamming+1 segments, pigeonhole: any pair within
     distance d shares at least one exact segment) — same verification stage.
     """
+    cleanup_persisted()
     df = _ensure_parallel(df, id_col)
     s = _persist(df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh")))
     l = s.alias("l")
@@ -466,6 +493,7 @@ def simhash_pairs_blocked(
     ``max_hamming+1`` segments; any pair within the hamming ball collides on
     >=1 exact segment, so candidates come from a bucket join on
     (segment_id, segment_value) instead of an n² compare."""
+    cleanup_persisted()
     n_seg = max_hamming + 1
     seg_bits = bits // n_seg
     df = _ensure_parallel(df, id_col)
@@ -575,6 +603,7 @@ def embedding_neardup_pairs_lsh(
     from ..functions.vectors import cosine, dot, vec_lit
     from .similarity import band_values_arrow, hyperplanes
 
+    cleanup_persisted()
     if n_dims is None:
         n_dims = len(df.select(vec_col).first()[0])
     planes = hyperplanes(bands * rows_per_band, n_dims)

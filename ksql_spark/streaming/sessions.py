@@ -49,35 +49,44 @@ from ..expr import Avg, Count, Max, Min, Sum
 
 US = 1_000_000  # microseconds per second
 
-# (init from value, merge two partials, finish) per algebraic aggregate kind
-_ALGEBRA = {
-    "count": (lambda v: 0.0 if v is None else 1.0, lambda a, b: a + b, lambda s: s),
-    "sum": (lambda v: 0.0 if v is None else float(v), lambda a, b: a + b, lambda s: s),
-    "min": (
-        lambda v: float("inf") if v is None else float(v),
-        min,
-        lambda s: None if s == float("inf") else s,
-    ),
-    "max": (
-        lambda v: float("-inf") if v is None else float(v),
-        max,
-        lambda s: None if s == float("-inf") else s,
-    ),
-}
+_INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+_FLOATING = ("float", "double")
 
 
 class AggSpec:
-    """One algebraic aggregate in the session output."""
+    """One algebraic aggregate in the session output.
 
-    def __init__(self, kind: str, in_col: str, out_name: str, out_type: str):
+    ``slot_kinds`` types each partial slot ('long' | 'double'): integral SUM/
+    MIN/MAX/COUNT partials stay exact Python ints end-to-end (a float64 slot
+    silently loses exactness above 2^53, diverging from the batch path).
+    """
+
+    def __init__(
+        self, kind: str, in_col: str, out_name: str, out_type: str, in_integral: bool = False
+    ):
         self.kind = kind  # count | sum | min | max | avg (avg = sum+count)
         self.in_col = in_col
         self.out_name = out_name
-        self.out_type = out_type  # spark sql type string for the output cast
+        self.out_type = out_type  # spark sql type string for the output
+        if kind == "count":
+            self.slot_kinds = ["long"]
+        elif kind == "avg":
+            # (sum, count); integral input keeps an exact long sum slot
+            self.slot_kinds = ["long" if in_integral else "double", "long"]
+        else:
+            self.slot_kinds = ["long" if in_integral else "double"]
 
     @property
     def n_slots(self) -> int:
-        return 2 if self.kind == "avg" else 1
+        return len(self.slot_kinds)
+
+
+def _require_numeric(f, dtype: str) -> None:
+    if dtype not in _INTEGRAL + _FLOATING:
+        raise AnalysisError(
+            f"session window EMIT CHANGES requires a numeric input for "
+            f"{type(f).__name__} (got {dtype}); use EMIT FINAL or a pull query"
+        )
 
 
 def agg_specs_from_fields(fields, df: DataFrame) -> list[AggSpec]:
@@ -88,17 +97,26 @@ def agg_specs_from_fields(fields, df: DataFrame) -> list[AggSpec]:
         in_col = f"__a{i}"
         name = f.output_name()
         if isinstance(f, Count):
-            specs.append(AggSpec("count", in_col, name, "bigint"))
+            specs.append(AggSpec("count", in_col, name, "bigint", in_integral=True))
         elif isinstance(f, Sum):
             src = in_dtypes.get(in_col, "double")
-            out = "bigint" if src in ("int", "bigint", "smallint", "tinyint") else "double"
-            specs.append(AggSpec("sum", in_col, name, out))
-        elif isinstance(f, Min):
-            specs.append(AggSpec("min", in_col, name, in_dtypes.get(in_col, "double")))
-        elif isinstance(f, Max):
-            specs.append(AggSpec("max", in_col, name, in_dtypes.get(in_col, "double")))
+            _require_numeric(f, src)
+            integral = src in _INTEGRAL
+            out = "bigint" if integral else "double"
+            specs.append(AggSpec("sum", in_col, name, out, in_integral=integral))
+        elif isinstance(f, (Min, Max)):
+            src = in_dtypes.get(in_col, "double")
+            _require_numeric(f, src)
+            specs.append(
+                AggSpec(
+                    "min" if isinstance(f, Min) else "max",
+                    in_col, name, src, in_integral=src in _INTEGRAL,
+                )
+            )
         elif isinstance(f, Avg):
-            specs.append(AggSpec("avg", in_col, name, "double"))
+            src = in_dtypes.get(in_col, "double")
+            _require_numeric(f, src)
+            specs.append(AggSpec("avg", in_col, name, "double", in_integral=src in _INTEGRAL))
         else:
             raise AnalysisError(
                 f"session window EMIT CHANGES supports algebraic aggregates "
@@ -115,40 +133,63 @@ def _session_func(
     import pandas as pd  # noqa: PLC0415 — executor-side import
 
     gap_us = int(gap_seconds * US)
-    n_slots = sum(s.n_slots for s in specs)
+    # flat slot layout across specs; each slot is typed 'long' or 'double'
+    # so integral partials stay exact Python ints (no float64 round-trip)
+    slot_kinds: list[str] = [k for s in specs for k in s.slot_kinds]
+    n_slots = len(slot_kinds)
+    # per-spec (first slot index, merge op per slot); None is the identity
+    # element for every merge (SQL semantics: aggregates skip NULL inputs)
+    _OPS = {"add": lambda a, b: a + b, "min": min, "max": max}
 
-    def new_partial(row_vals) -> list[float]:
-        out: list[float] = []
+    def _conv(kind: str, v):
+        return int(v) if kind == "long" else float(v)
+
+    def new_partial(row_vals) -> list:
+        out: list = []
         for s, v in zip(specs, row_vals):
-            if s.kind == "avg":
-                out.append(0.0 if v is None else float(v))  # sum slot
-                out.append(0.0 if v is None else 1.0)  # count slot
-            else:
-                out.append(_ALGEBRA[s.kind][0](v))
+            if s.kind == "count":
+                out.append(0 if v is None else 1)
+            elif s.kind == "avg":
+                if v is None:
+                    out.extend([None, 0])
+                else:
+                    out.extend([_conv(s.slot_kinds[0], v), 1])
+            else:  # sum | min | max
+                out.append(None if v is None else _conv(s.slot_kinds[0], v))
         return out
 
-    def merge_partial(a: list[float], b: list[float]) -> list[float]:
-        out: list[float] = []
+    def _merge_slot(op: str, a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return _OPS[op](a, b)
+
+    def merge_partial(a: list, b: list) -> list:
+        out: list = []
         i = 0
         for s in specs:
-            if s.kind == "avg":
-                out.append(a[i] + b[i])
-                out.append(a[i + 1] + b[i + 1])
+            if s.kind in ("count", "sum"):
+                out.append(_merge_slot("add", a[i], b[i]))
+                i += 1
+            elif s.kind == "avg":
+                out.append(_merge_slot("add", a[i], b[i]))
+                out.append(_merge_slot("add", a[i + 1], b[i + 1]))
                 i += 2
-            else:
-                out.append(_ALGEBRA[s.kind][1](a[i], b[i]))
+            else:  # min | max
+                out.append(_merge_slot(s.kind, a[i], b[i]))
                 i += 1
         return out
 
-    def finish(p: list[float]) -> list:
+    def finish(p: list) -> list:
         out: list = []
         i = 0
         for s in specs:
             if s.kind == "avg":
-                out.append(p[i] / p[i + 1] if p[i + 1] else None)
+                out.append(p[i] / p[i + 1] if (p[i] is not None and p[i + 1]) else None)
                 i += 2
             else:
-                out.append(_ALGEBRA[s.kind][2](p[i]))
+                out.append(p[i])
                 i += 1
         return out
 
@@ -161,17 +202,30 @@ def _session_func(
             data[f"__k{k}"] = [key[k]] * len(rows)
         finished = [finish(r[2]) for r in rows]
         for j in range(len(specs)):
-            data[f"__o{j}"] = [f[j] for f in finished]
+            # object dtype: a mixed int/None column must NOT collapse to
+            # float64 (Arrow converts object int+None to exact int64)
+            data[f"__o{j}"] = pd.Series([f[j] for f in finished], dtype=object)
         data["__op"] = [r[3] for r in rows]
         return pd.DataFrame(data)
+
+    # state keeps two typed flat arrays (long slots, double slots) so
+    # integral partials survive the state round-trip exactly
+    long_idx = [i for i, k in enumerate(slot_kinds) if k == "long"]
+    dbl_idx = [i for i, k in enumerate(slot_kinds) if k == "double"]
+    n_long, n_dbl = len(long_idx), len(dbl_idx)
 
     def func(key, pdf_iter: Iterator, state: GroupState) -> Iterator:
         # -- load state: parallel arrays of open sessions -------------------
         if state.exists:
-            starts, ends, e_starts, e_ends, flat = state.get
-            partials = [
-                list(flat[i * n_slots : (i + 1) * n_slots]) for i in range(len(starts))
-            ]
+            starts, ends, e_starts, e_ends, p_long, p_dbl = state.get
+            partials = []
+            for i in range(len(starts)):
+                p: list = [None] * n_slots
+                for j, idx in enumerate(long_idx):
+                    p[idx] = p_long[i * n_long + j]
+                for j, idx in enumerate(dbl_idx):
+                    p[idx] = p_dbl[i * n_dbl + j]
+                partials.append(p)
             sessions = [
                 {"start": s, "end": e, "emitted": (es, ee), "p": p}
                 for s, e, es, ee, p in zip(starts, ends, e_starts, e_ends, partials)
@@ -251,7 +305,7 @@ def _session_func(
                 s["emitted"] = ident
         for ident in consumed_identities:
             if ident not in survivors:
-                rows.append((ident[0], ident[1], [0.0] * n_slots, "D"))
+                rows.append((ident[0], ident[1], [None] * n_slots, "D"))
 
         # -- persist + schedule eviction ------------------------------------
         open_sessions = [s for s in merged if s["end"] > wm_us]
@@ -270,7 +324,8 @@ def _session_func(
                 [s["end"] for s in sessions],
                 [s["emitted"][0] for s in sessions],
                 [s["emitted"][1] for s in sessions],
-                [x for s in sessions for x in s["p"]],
+                [s["p"][idx] for s in sessions for idx in long_idx],
+                [s["p"][idx] for s in sessions for idx in dbl_idx],
             )
         )
 
@@ -310,7 +365,14 @@ def session_changelog(
             StructField("window_start", proj.schema["__ts"].dataType),
             StructField("window_end", proj.schema["__ts"].dataType),
             *key_fields,
-            *[StructField(f"__o{j}", DoubleType()) for j in range(len(specs))],
+            # long-slot aggregates emit exact int64; everything else double
+            *[
+                StructField(
+                    f"__o{j}",
+                    LongType() if (s.kind != "avg" and s.slot_kinds[0] == "long") else DoubleType(),
+                )
+                for j, s in enumerate(specs)
+            ],
             StructField("__op", StringType()),
         ]
     )
@@ -320,7 +382,8 @@ def session_changelog(
             StructField("ends", ArrayType(LongType())),
             StructField("e_starts", ArrayType(LongType())),
             StructField("e_ends", ArrayType(LongType())),
-            StructField("partials", ArrayType(DoubleType())),
+            StructField("p_long", ArrayType(LongType())),
+            StructField("p_dbl", ArrayType(DoubleType())),
         ]
     )
 

@@ -124,3 +124,23 @@ def test_minhash_arrow_matches_expression_path(spark, docs):
     lsh_v = minhash_lsh_pairs(docs, n_hashes=32, bands=16, threshold=0.5, vectorized=True)
     lsh_e = minhash_lsh_pairs(docs, n_hashes=32, bands=16, threshold=0.5, vectorized=False)
     assert sorted(map(tuple, lsh_v.collect())) == sorted(map(tuple, lsh_e.collect()))
+
+
+def test_cleanup_persisted_releases_blocks(spark, docs):
+    """Operators register persisted signature tables; cleanup_persisted (and
+    the next operator call) releases them instead of leaking MEMORY_AND_DISK
+    blocks for the session lifetime (ADVICE r2)."""
+    from ksql_spark.operators import dedup
+
+    dedup.cleanup_persisted()
+    out = dedup.minhash_lsh_pairs(docs, n_hashes=8, bands=4, threshold=0.5)
+    out.count()
+    assert len(dedup._PERSISTED) > 0
+    released = dedup.cleanup_persisted()
+    assert released > 0 and not dedup._PERSISTED
+    # a second invocation self-cleans: registry only holds the new call's frames
+    dedup.minhash_lsh_pairs(docs, n_hashes=8, bands=4, threshold=0.5).count()
+    n_after = len(dedup._PERSISTED)
+    dedup.minhash_lsh_pairs(docs, n_hashes=8, bands=4, threshold=0.5).count()
+    assert len(dedup._PERSISTED) == n_after
+    dedup.cleanup_persisted()

@@ -438,3 +438,124 @@ def test_session_changelog_backward_extension(spark, workdir):
     )
     assert state == want
     assert len(state) == 1  # one merged session spanning 10m..61m
+
+
+def test_session_changelog_bigint_sum_exact(spark, workdir):
+    """Integral SUM partials stay exact Python ints through the session
+    state round-trip (ADVICE r2: float64 slots lose exactness above 2^53)."""
+    big = 2**53 + 1  # not representable as float64 (2^53+1 -> 2^53)
+    base = Fn.lit("2026-01-01 00:00:00").cast("timestamp")
+    df = spark.createDataFrame(
+        [("c1", 0, big), ("c1", 1, 2)], "conv_id string, off long, v long"
+    ).select(
+        "conv_id",
+        (base + Fn.col("off") * Fn.expr("INTERVAL 60 SECONDS")).alias("ts"),
+        Fn.col("off").alias("turn_idx"),
+        "v",
+    )
+    path = f"{workdir}/big_transcripts"
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    cat = Catalog(spark, root=f"{workdir}/big_cat")
+    cat.register_parquet(
+        "big_transcripts", path, ref=STREAM,
+        event_time_col="ts", event_order_cols=["ts", "turn_idx"],
+    )
+    from ksql_spark import SessionWindow
+
+    eng = PersistentQueryManager(
+        spark, cat, workdir=f"{workdir}/big_eng", grace="10 minutes", enable_metrics=False
+    )
+    csas = Create(TABLE, "big_stats").AsSelect(
+        Select(F("conv_id"), Sum(F("v")).Alias("s"), Count(F("v")).Alias("n"))
+        .From(Schema("big_transcripts", STREAM))
+        .WindowedBy(SessionWindow(30, TimeUnit.MINUTES))
+        .GroupBy(F("conv_id"))
+        .EmitChanges()
+    )
+    eng.create_as_select(csas, available_now=True)
+    row = eng.catalog.read("QUERYABLE_big_stats").collect()[0]
+    assert row["s"] == big + 2  # exact: float64 would give 2^53 + 2
+    assert row["n"] == 2
+    assert dict(eng.catalog.read("QUERYABLE_big_stats").dtypes)["s"] == "bigint"
+
+
+def test_session_changes_having_rejected(spark):
+    """HAVING cannot silently vanish in the session-changelog branch
+    (ADVICE r2) — it is rejected at compile time."""
+    from ksql_spark import SessionWindow
+    from ksql_spark.errors import AnalysisError
+    from ksql_spark.operators.compile import compile_select
+
+    src = spark.createDataFrame(
+        [("c1", "2026-01-01 00:00:00", 1)], "conv_id string, ts string, v long"
+    ).select("conv_id", Fn.col("ts").cast("timestamp").alias("ts"), "v")
+    q = (
+        Select(F("conv_id"), Count(F("v")).Alias("n"))
+        .From(Schema("t", STREAM))
+        .WindowedBy(SessionWindow(30, TimeUnit.MINUTES))
+        .GroupBy(F("conv_id"))
+        .Having(Count(F("v")).Greater(1))
+        .EmitChanges()
+    )
+    with pytest.raises(AnalysisError, match="HAVING.*SESSION"):
+        compile_select(q, sources={"t": src}, streaming=True)
+
+
+def test_session_changes_non_numeric_minmax_rejected(spark, workdir):
+    """MIN/MAX over a non-numeric column is rejected with AnalysisError in
+    the session-changelog path (ADVICE r2: float(v) would crash at runtime)."""
+    from ksql_spark import Min, SessionWindow
+    from ksql_spark.errors import AnalysisError
+    from ksql_spark.operators.compile import compile_select
+
+    path = f"{workdir}/str_transcripts"
+    spark.createDataFrame(
+        [("c1", "2026-01-01 00:00:00", "hello")], "conv_id string, ts string, txt string"
+    ).select(
+        "conv_id", Fn.col("ts").cast("timestamp").alias("ts"), "txt"
+    ).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(
+        "conv_id string, ts timestamp, txt string"
+    ).parquet(path)
+    q = (
+        Select(F("conv_id"), Min(F("txt")).Alias("m"))
+        .From(Schema("t", STREAM))
+        .WindowedBy(SessionWindow(30, TimeUnit.MINUTES))
+        .GroupBy(F("conv_id"))
+        .EmitChanges()
+    )
+    with pytest.raises(AnalysisError, match="numeric"):
+        compile_select(q, sources={"t": stream}, streaming=True)
+
+
+def test_session_changes_join_keeps_left_watermark(spark, workdir):
+    """session+EMIT CHANGES with a stream-stream join must watermark the
+    left side BEFORE the join (ADVICE r2), not only inside the session
+    operator's projection."""
+    from ksql_spark import SessionWindow
+    from ksql_spark.operators.compile import compile_select
+
+    path = f"{workdir}/join_transcripts"
+    spark.createDataFrame(
+        [("c1", "2026-01-01 00:00:00", 1)], "conv_id string, ts string, v long"
+    ).select(
+        "conv_id", Fn.col("ts").cast("timestamp").alias("ts"), "v"
+    ).write.mode("overwrite").parquet(path)
+    schema = "conv_id string, ts timestamp, v long"
+    left = spark.readStream.schema(schema).parquet(path)
+    right = spark.readStream.schema(schema).parquet(path)
+    q = (
+        Select(F("l.conv_id"), Count(F("l.v")).Alias("n"))
+        .From(Schema("lt", STREAM).As("l"))
+        .Join(Schema("rt", STREAM).As("r"), F("l.conv_id").Equal(F("r.conv_id")),
+              within_seconds=300)
+        .WindowedBy(SessionWindow(30, TimeUnit.MINUTES))
+        .GroupBy(F("l.conv_id"))
+        .EmitChanges()
+    )
+    df = compile_select(q, sources={"lt": left, "rt": right}, streaming=True)
+    assert df.isStreaming
+    plan = df._jdf.queryExecution().analyzed().toString()
+    # left + right pre-join watermarks AND the session operator's own
+    assert plan.count("EventTimeWatermark") >= 3

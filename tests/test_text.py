@@ -108,3 +108,46 @@ def test_sql_twins_agree(spark, docs):
     spdf = pdf.sort_values("doc_id").reset_index(drop=True)
     for col in ["tok_ws", "tok_bpe", "lang", "q", "fp"]:
         assert list(spdf[col]) == list(ddf[col]), col
+
+
+def test_null_text_semantics(spark):
+    """NULL text propagates as NULL through every text function (ADVICE r2:
+    concat_ws would otherwise normalize NULL to '' and merge NULL-text docs
+    with empty-text docs in exact_dedup), matching the DuckDB twins."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "The cat.")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            token_count_ws(Fn.col("text")).alias("ws"),
+            token_count_bpe(Fn.col("text")).alias("bpe"),
+            lang_id(Fn.col("text")).alias("lang"),
+            quality_score(Fn.col("text")).alias("q"),
+            fingerprint(Fn.col("text")).alias("fp"),
+        ).collect()
+    }
+    assert (out[1].ws, out[1].bpe, out[1].lang, out[1].q, out[1].fp) == (
+        None, None, None, None, None,
+    )
+    assert out[2].ws == 0 and out[2].fp is not None
+    assert out[2].fp != out[1].fp  # NULL text and empty text do NOT merge
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d AS SELECT * FROM (VALUES (1, NULL), (2, ''), (3, 'The cat.')) t(doc_id, text)")
+    oracle = {
+        r[0]: r[1:]
+        for r in con.execute(
+            f"SELECT doc_id, {SQL_TOKEN_WS.format(c='text')}, {SQL_TOKEN_BPE.format(c='text')}, "
+            f"{sql_lang_id('text')}, {sql_quality_score('text')}, {sql_fingerprint('text')} FROM d"
+        ).fetchall()
+    }
+    for doc_id, r in out.items():
+        o = oracle[doc_id]
+        assert (r.ws, r.bpe, r.lang) == (o[0], o[1], o[2]), doc_id
+        if r.q is None:
+            assert o[3] is None
+        else:
+            assert abs(r.q - o[3]) < 1e-9
+        assert r.fp == o[4], doc_id
