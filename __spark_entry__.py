@@ -1013,6 +1013,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs_blocked(src["documents"], bits=32, max_hamming=3)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pairs -> connected components -> canonical keep/drop: the operator a
+    # training-data pipeline actually runs (LSH emits PAIRS; keep decisions
+    # need transitive closure).  Oracle: DuckDB recursive-CTE reachability.
+    from ksql_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+    src = _load(spark, sf_dir, "documents")
+    docs = src["documents"]
+    pairs = minhash_lsh_pairs(docs, n_hashes=48, bands=16, shingle_n=3, threshold=0.7)
+    return dedup_clusters(docs, pairs)
+
+
 def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.operators.similarity import cosine_topk
 
@@ -1151,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_neardup": q_embed_neardup,
         "embed_neardup_exact": q_embed_neardup_exact,
@@ -1168,6 +1181,7 @@ def oracle_sql() -> dict[str, str]:
         sql_quality_score,
     )
     from ksql_spark.oracles import (
+        sql_dedup_clusters,
         sql_embed_cosine_topk,
         sql_embed_lsh_ann,
         sql_embed_neardup_planted,
@@ -1411,6 +1425,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": sql_ngram_jaccard_pairs(shingle_n=3, threshold=0.7),
         "dedup_minhash_lsh": sql_minhash_pairs(shingle_n=3, threshold=0.7),
         "dedup_simhash": sql_simhash_pairs(bits=32, max_hamming=3),
+        "dedup_clusters": sql_dedup_clusters(shingle_n=3, threshold=0.7),
         "embed_cosine_topk": sql_embed_cosine_topk(k=10),
         "embed_neardup": sql_embed_neardup_planted(threshold=0.99),
         "embed_neardup_exact": sql_embed_neardup_planted(threshold=0.99),

@@ -663,3 +663,127 @@ def embedding_neardup_pairs_lsh(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution: pairs -> connected components -> keep/drop
+# ---------------------------------------------------------------------------
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every node connects its strictly-larger neighbors to
+    the minimum of its neighborhood (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SOCC'14).  Pure DataFrame ops: one groupBy-min and
+    one hash join per round."""
+    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = und.groupBy("u").agg(F.min("v").alias("__mv"))
+    mins = mins.select("u", F.least(F.col("__mv"), F.col("u")).alias("m"))
+    return (
+        und.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: every node connects its smaller-or-equal neighbors
+    (and itself) to the minimum among them."""
+    d = e.select(
+        F.greatest(F.col("u"), F.col("v")).alias("u"),
+        F.least(F.col("u"), F.col("v")).alias("v"),
+    )
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    children = d.join(mins, "u").select(F.col("v").alias("node"), F.col("m"))
+    selves = mins.select(F.col("u").alias("node"), F.col("m"))
+    return (
+        children.union(selves)
+        .filter(F.col("node") != F.col("m"))
+        .select(F.col("node").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_l: str = "id_l",
+    id_r: str = "id_r",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair graph -> (id, cluster).
+
+    Alternating large-star / small-star rounds (each is a groupBy-min plus a
+    hash join — no UDF, no collect, no driver-side graph), converging in
+    O(log n) rounds; at convergence the edge set is a star forest pointing
+    every node at its component's minimum id.  Each round materializes the
+    (persisted) edge set and compares a deterministic signature
+    (count + hashsum) to detect the fixed point, so the loop runs exactly as
+    many shuffles as the graph needs.
+
+    This is the operator every training-data dedup pipeline actually runs:
+    LSH emits near-dup PAIRS; keep/drop decisions need transitive closure
+    (A~B, B~C => {A,B,C} share one canonical representative even when A~C
+    itself was never emitted).
+
+    Output: one row per non-singleton node — (id, cluster) with
+    cluster = min(component).  Singletons (nodes in no pair) never enter the
+    edge set; callers left-join and coalesce(cluster, id).
+    """
+    e = (
+        pairs.select(F.col(id_l).alias("u"), F.col(id_r).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev_sig = None
+    for _ in range(max_rounds):
+        e = _small_star(_large_star(e))
+        # Checkpoint, don't just persist: each round's plan nests the
+        # previous round's, and Catalyst re-analysis goes super-linear after
+        # a handful of iterations even over cached data.  Truncating the
+        # lineage keeps every round O(current edge set).  A reliable
+        # checkpoint dir (sc.setCheckpointDir) also makes rounds survive
+        # executor loss on a real cluster; localCheckpoint is the fallback.
+        sc = e.sparkSession.sparkContext
+        e = (
+            e.checkpoint(eager=True)
+            if sc.getCheckpointDir()
+            else e.localCheckpoint(eager=True)
+        )
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.hash(F.col("u"), F.col("v"))), F.lit(0)).alias("h"),
+        ).first()
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:  # pragma: no cover — max_rounds is far above log2(any real n)
+        raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+    return e.select(F.col("u").alias("id"), F.col("v").alias("cluster"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical keep/drop decisions from near-dup pairs.
+
+    Joins the corpus to the connected components of the pair graph:
+      cluster_id = min doc id of the component (the canonical representative,
+                   the usual keep policy in training-data dedup),
+      keep       = this doc IS the representative.
+
+    One extra broadcast-or-shuffle join over the corpus; the components table
+    is tiny relative to the corpus (only docs that appear in any pair).
+    """
+    labels = connected_components(pairs, id_l="id_l", id_r="id_r")
+    out = (
+        df.select(F.col(id_col))
+        .join(labels.withColumnRenamed("id", id_col), on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    return out.withColumn("keep", F.col("cluster_id") == F.col(id_col))

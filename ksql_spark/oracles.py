@@ -166,3 +166,30 @@ def sql_embed_lsh_ann(k: int = 10, n_planes: int = 8, n_dims: int = 64) -> str:
         WHERE bit_count(xor(b.bucket, qb.bucket)) <= 1
         ORDER BY cosine_sim DESC, b.vec_id ASC LIMIT {k}
     """
+
+
+def sql_dedup_clusters(shingle_n: int = 3, threshold: float = 0.7) -> str:
+    """Oracle for dedup.dedup_clusters over minhash-LSH pairs: exact-Jaccard
+    pairs (same set the LSH path verifies down to) fed into a recursive-CTE
+    transitive closure; cluster = min reachable id, keep = is-representative.
+    Mirrors dedup.connected_components (alternating star rounds) which
+    computes the same min-label fixed point distributively."""
+    sh = _sql_shingles("text", shingle_n)
+    return f"""
+        WITH RECURSIVE
+        d AS (SELECT doc_id, {sh} AS sh FROM documents),
+        p AS (SELECT l.doc_id AS u, r.doc_id AS v
+              FROM d l JOIN d r ON l.doc_id < r.doc_id
+              WHERE {_sql_jaccard('l.sh', 'r.sh')} >= {threshold}),
+        e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+        reach AS (
+            SELECT u AS id, v AS r FROM e
+            UNION
+            SELECT e.u AS id, w.r FROM e JOIN reach w ON w.id = e.v
+        ),
+        lab AS (SELECT id, least(id, min(r)) AS cluster FROM reach GROUP BY id)
+        SELECT doc.doc_id,
+               coalesce(lab.cluster, doc.doc_id) AS cluster_id,
+               coalesce(lab.cluster, doc.doc_id) = doc.doc_id AS keep
+        FROM documents doc LEFT JOIN lab ON doc.doc_id = lab.id
+    """
