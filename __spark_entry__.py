@@ -826,6 +826,79 @@ def streaming_session_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_topk_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOPK under EMIT CHANGES through the bounded-state stateful operator
+    (streaming/bounded.py): per-group state is the running top-k (O(k), not
+    O(history) — the native collect_list fold is the unbounded anti-pattern
+    this replaces).  Oracle = the batch top-k recompute."""
+    from ksql_spark import TABLE, Catalog, Create, F, RawColumn, STREAM, Schema, Select, TopK
+    from ksql_spark.streaming.engine import PersistentQueryManager
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    work = tempfile.mkdtemp(prefix="ksql_driver_topk_")
+    cat = Catalog(spark, root=os.path.join(work, "catalog"))
+    cat.register_parquet(
+        "events",
+        os.path.join(sf_dir, "events.parquet"),
+        ref=STREAM,
+        event_time_col="ts",
+        event_order_cols=["ts", "event_id"],
+        partitions=8,
+    )
+    mgr = PersistentQueryManager(
+        spark, cat, workdir=os.path.join(work, "engine"), grace="365 days",
+        enable_metrics=False,
+    )
+    csas = Create(TABLE, "user_topk").AsSelect(
+        Select(
+            F("user_id"),
+            TopK(RawColumn(Fn.round(Fn.col("value"), 4)), 3).Alias("top_vals"),
+        )
+        .From(Schema("events", STREAM))
+        .GroupBy(F("user_id"))
+        .EmitChanges()
+    )
+    mgr.create_as_select(csas, available_now=True, await_termination=True)
+    state = cat.read("QUERYABLE_user_topk")
+    return state.select("user_id", Fn.posexplode("top_vals").alias("rank", "top_val")).select(
+        "user_id", Fn.col("rank").cast("bigint").alias("rank"), "top_val"
+    )
+
+
+def streaming_histogram_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTOGRAM under EMIT CHANGES via the SpaceSaving-bounded stateful
+    operator — exact while per-group distinct values fit the sketch capacity
+    (they do here: 3 event types), state O(capacity) regardless of group
+    size.  Oracle = the batch most-frequent recompute."""
+    from ksql_spark import TABLE, Catalog, Create, F, Histogram, STREAM, Schema, Select
+    from ksql_spark.streaming.engine import PersistentQueryManager
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    work = tempfile.mkdtemp(prefix="ksql_driver_hist_")
+    cat = Catalog(spark, root=os.path.join(work, "catalog"))
+    cat.register_parquet(
+        "events",
+        os.path.join(sf_dir, "events.parquet"),
+        ref=STREAM,
+        event_time_col="ts",
+        event_order_cols=["ts", "event_id"],
+        partitions=8,
+    )
+    mgr = PersistentQueryManager(
+        spark, cat, workdir=os.path.join(work, "engine"), grace="365 days",
+        enable_metrics=False,
+    )
+    csas = Create(TABLE, "user_hist").AsSelect(
+        Select(F("user_id"), Histogram(F("event_type"), 3).Alias("hist"))
+        .From(Schema("events", STREAM))
+        .GroupBy(F("user_id"))
+        .EmitChanges()
+    )
+    mgr.create_as_select(csas, available_now=True, await_termination=True)
+    state = cat.read("QUERYABLE_user_hist")
+    return state.select("user_id", Fn.explode("hist").alias("event_type", "cnt"))
+
+
 def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-bounded stream-stream self-join (ksqlDB windowed join,
     SURVEY.md §2.3): same-user event pairs within ±300 s, each emitted
@@ -1156,6 +1229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_changelog": streaming_session_changelog,
         "streaming_stream_stream_join": streaming_stream_stream_join,
         "streaming_stream_table_join": streaming_stream_table_join,
+        "streaming_topk_changelog": streaming_topk_changelog,
+        "streaming_histogram_changelog": streaming_histogram_changelog,
         "skew_salted_agg": q_skew_salted_agg,
         "skew_salted_join": q_skew_salted_join,
         "text_stats": q_text_stats,
@@ -1201,6 +1276,20 @@ def oracle_sql() -> dict[str, str]:
                event_type, count(event_id) AS cnt
         FROM events, range(2) r(i)
         GROUP BY 1, 2
+    """
+    topk_sql = """
+        SELECT user_id,
+               cast(generate_subscripts(top_vals, 1) - 1 AS bigint) AS rank,
+               unnest(top_vals) AS top_val
+        FROM (SELECT user_id,
+                     list_slice(list(round(value, 4) ORDER BY round(value, 4) DESC), 1, 3) AS top_vals
+              FROM events GROUP BY user_id)
+    """
+    histogram_sql = """
+        SELECT user_id, event_type, cnt FROM (
+            SELECT user_id, event_type, count(*) AS cnt,
+                   row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type ASC) rn
+            FROM events GROUP BY user_id, event_type) WHERE rn <= 3
     """
     session_sql = """
         WITH o AS (
@@ -1344,14 +1433,8 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) rn
                 FROM events) WHERE rn = 1
         """,
-        "topk": """
-            SELECT user_id,
-                   cast(generate_subscripts(top_vals, 1) - 1 AS bigint) AS rank,
-                   unnest(top_vals) AS top_val
-            FROM (SELECT user_id,
-                         list_slice(list(round(value, 4) ORDER BY round(value, 4) DESC), 1, 3) AS top_vals
-                  FROM events GROUP BY user_id)
-        """,
+        "topk": topk_sql,
+        "streaming_topk_changelog": topk_sql,
         "topk_distinct": """
             SELECT user_id,
                    cast(generate_subscripts(top_types, 1) - 1 AS bigint) AS rank,
@@ -1360,12 +1443,8 @@ def oracle_sql() -> dict[str, str]:
                          list_slice(list(DISTINCT event_type ORDER BY event_type DESC), 1, 2) AS top_types
                   FROM events GROUP BY user_id)
         """,
-        "histogram": """
-            SELECT user_id, event_type, cnt FROM (
-                SELECT user_id, event_type, count(*) AS cnt,
-                       row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type ASC) rn
-                FROM events GROUP BY user_id, event_type) WHERE rn <= 3
-        """,
+        "histogram": histogram_sql,
+        "streaming_histogram_changelog": histogram_sql,
         "window_tumbling": tumbling_sql,
         "window_hopping": hopping_sql,
         "streaming_hopping_changelog": hopping_sql,

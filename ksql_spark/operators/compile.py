@@ -29,6 +29,8 @@ from ..errors import AnalysisError
 from ..expr import (
     AggregateFn,
     BooleanExpr,
+    CollectList,
+    CollectSet,
     Conditional,
     EarliestByOffset,
     Expr,
@@ -327,6 +329,24 @@ def compile_select(
             agg_fields,
             grace=grace,
         )
+    elif (
+        df.isStreaming
+        and sb.emit == EmitMode.CHANGES
+        and _is_bounded_streaming_agg(sb, agg_fields)
+    ):
+        # TOPK / COLLECT_* / HISTOGRAM under EMIT CHANGES: the native fold
+        # keeps the whole group's history in one state value; the bounded
+        # stateful operator caps per-group state at O(k) / O(limit) /
+        # O(sketch capacity) — the 100x-horizon fix for hot keys
+        from ..streaming.bounded import bounded_agg_changelog
+
+        df = bounded_agg_changelog(
+            df,
+            ts_col,
+            [(g.output_name(), g.output()) for g in sb.group_by],
+            sb.window,
+            agg_fields[0],
+        )
     elif agg_fields or sb.group_by:
         df = _lower_aggregate(sb, df, ts_col, order_cols)
     else:
@@ -342,6 +362,54 @@ def compile_select(
     if sb.limit_n is not None:
         df = df.limit(sb.limit_n)
     return df
+
+
+# bypass the salted two-level TOPK below this estimated input size: the
+# rewrite's fixed two-shuffle overhead dominates small inputs (measured 5x
+# at sf0.1), while any group under this size trivially fits one task's
+# collect_list.  Catalyst's file-source size estimate is free (no scan).
+TOPK_TWOLEVEL_MIN_BYTES = 256 << 20
+
+
+def _estimated_plan_bytes(df: DataFrame) -> int | None:
+    """Optimizer size estimate for the plan's output (file sizes for scans,
+    propagated through filters/projections).  None when unavailable."""
+    try:  # py4j internals — version-pinned to the bundled Spark
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # pragma: no cover — e.g. streaming relation quirks
+        return None
+
+
+def _topk_twolevel_worthwhile(df: DataFrame) -> bool:
+    """AQE-spirited switch: engage the salted rewrite only when the input
+    estimate crosses the threshold (override:
+    ``spark.ksql.topk.twolevelThresholdBytes``; 0 = always two-level)."""
+    threshold = TOPK_TWOLEVEL_MIN_BYTES
+    try:
+        threshold = int(
+            df.sparkSession.conf.get(
+                "spark.ksql.topk.twolevelThresholdBytes", str(TOPK_TWOLEVEL_MIN_BYTES)
+            )
+        )
+    except Exception:  # pragma: no cover
+        pass
+    size = _estimated_plan_bytes(df)
+    # unknown size -> two-level (the safe plan at scale)
+    return size is None or size >= threshold
+
+
+def _is_bounded_streaming_agg(sb: SelectBuilder, agg_fields: list) -> bool:
+    """True when the query's single aggregate has a bounded-state streaming
+    lowering (streaming/bounded.py).  HAVING falls back to the native fold
+    (the hidden-agg rewrite needs everything in one groupBy.agg)."""
+    if sb.having_exprs or len(agg_fields) != 1:
+        return False
+    if isinstance(sb.window, SessionWindow):
+        return False
+    f = agg_fields[0]
+    if isinstance(f, (TopK, Histogram, CollectSet)):
+        return True
+    return isinstance(f, CollectList) and not f.order_by
 
 
 def _lower_histogram_twolevel(
@@ -462,6 +530,7 @@ def _lower_aggregate(
         and len(agg_fields) == 1
         and isinstance(agg_fields[0], TopK)  # covers TopKDistinct (subclass)
         and not sb.having_exprs
+        and _topk_twolevel_worthwhile(df)
     ):
         out = _lower_topk_twolevel(sb, df, group_cols, agg_fields[0], windowed)
     else:

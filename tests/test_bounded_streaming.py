@@ -1,0 +1,269 @@
+"""Bounded-state streaming TOPK / COLLECT / HISTOGRAM (streaming/bounded.py).
+
+Two layers:
+  * the merge kernels — the state bound itself is asserted directly
+    (fold a skewed single-key stream, state never exceeds O(k));
+  * end-to-end CSAS EMIT CHANGES runs through the engine, compared
+    row-for-row against the batch recomputation.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as Fn
+from pyspark.sql.window import Window
+
+from ksql_spark import (
+    STREAM,
+    TABLE,
+    Catalog,
+    CollectSet,
+    F,
+    Histogram,
+    Schema,
+    Select,
+    TimeUnit,
+    TopK,
+    TopKDistinct,
+    TumblingWindow,
+)
+from ksql_spark import Create
+from ksql_spark.streaming.bounded import (
+    hist_top_buckets,
+    merge_collect,
+    merge_spacesaving,
+    merge_topk,
+)
+from ksql_spark.streaming.engine import PersistentQueryManager
+
+
+# ---------------------------------------------------------------------------
+# merge kernels: the state bound
+# ---------------------------------------------------------------------------
+
+
+def test_topk_state_bounded_and_exact_under_skew():
+    rng = random.Random(7)
+    all_vals: list[float] = []
+    state: list = []
+    for _ in range(200):  # 200 micro-batches of a single hot key
+        batch = [rng.uniform(0, 1e6) for _ in range(500)]
+        all_vals.extend(batch)
+        state = merge_topk(state, batch, k=5, distinct=False)
+        assert len(state) <= 5  # O(k), not O(history)
+    assert state == sorted(all_vals, reverse=True)[:5]
+
+
+def test_topk_distinct_state_bounded_and_exact():
+    rng = random.Random(11)
+    seen: set = set()
+    state: list = []
+    for _ in range(100):
+        batch = [rng.randrange(0, 50) for _ in range(1000)]  # heavy duplicates
+        seen.update(batch)
+        state = merge_topk(state, batch, k=4, distinct=True)
+        assert len(state) <= 4
+    assert state == sorted(seen, reverse=True)[:4]
+
+
+def test_collect_caps_at_limit():
+    state: list = []
+    for i in range(100):
+        state = merge_collect(state, list(range(i * 10, i * 10 + 10)), limit=25, is_set=False)
+        assert len(state) <= 25
+    assert state == list(range(25))  # first-N, ksqlDB cap semantics
+
+    sstate: list = []
+    for _ in range(50):
+        sstate = merge_collect(sstate, [1, 2, 3, 4, 5], limit=3, is_set=True)
+    assert sstate == [1, 2, 3]
+
+
+def test_spacesaving_exact_under_capacity():
+    rng = random.Random(3)
+    truth: dict = {}
+    hk, hc, he = [], [], []
+    for _ in range(50):
+        batch: dict = {}
+        for _ in range(400):
+            v = f"v{rng.randrange(0, 30)}"  # 30 distinct < capacity 64
+            batch[v] = batch.get(v, 0) + 1
+            truth[v] = truth.get(v, 0) + 1
+        hk, hc, he = merge_spacesaving(hk, hc, he, batch, capacity=64)
+        assert len(hk) <= 64
+    assert dict(zip(hk, hc)) == truth
+    assert all(e == 0 for e in he)  # exact: no evictions happened
+    bk, bc = hist_top_buckets(hk, hc, 3)
+    expect = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert list(zip(bk, bc)) == expect
+
+
+def test_spacesaving_bounded_over_capacity():
+    hk, hc, he = [], [], []
+    for i in range(100):
+        batch = {f"k{i}_{j}": 1 for j in range(10)}  # 1000 distinct total
+        hk, hc, he = merge_spacesaving(hk, hc, he, batch, capacity=16)
+        assert len(hk) <= 16  # sketch never exceeds capacity
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: CSAS EMIT CHANGES == batch recomputation
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def events_stream(spark, workdir, tmp_path):
+    rng = random.Random(42)
+    rows = []
+    eid = 0
+    for f in range(4):  # 4 files -> multiple micro-batches (maxFilesPerTrigger=1)
+        part = []
+        for _ in range(250):
+            uid = rng.randrange(0, 8)
+            part.append(
+                (
+                    eid,
+                    uid,
+                    f"type{rng.randrange(0, 5)}",
+                    round(rng.uniform(0, 100), 4),
+                    f"2026-01-01 0{f}:{rng.randrange(0, 60):02d}:{rng.randrange(0, 60):02d}",
+                )
+            )
+            eid += 1
+        df = spark.createDataFrame(
+            part, "event_id bigint, user_id bigint, event_type string, value double, ts_s string"
+        ).withColumn("ts", Fn.col("ts_s").cast("timestamp")).drop("ts_s")
+        df.coalesce(1).write.mode("append").parquet(str(tmp_path / "ev"))
+    cat = Catalog(spark, root=f"{workdir}/catalog")
+    cat.register_parquet(
+        "ev",
+        str(tmp_path / "ev"),
+        ref=STREAM,
+        event_time_col="ts",
+        event_order_cols=["ts", "event_id"],
+        metadata={"max_files_per_trigger": 1},
+    )
+    mgr = PersistentQueryManager(
+        spark, cat, workdir=f"{workdir}/eng", grace="365 days", enable_metrics=False
+    )
+    batch = spark.read.parquet(str(tmp_path / "ev"))
+    return cat, mgr, batch
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_streaming_topk_matches_batch(spark, events_stream):
+    cat, mgr, batch = events_stream
+    csas = Create(TABLE, "tk").AsSelect(
+        Select(F("user_id"), TopK(F("value"), 3).Alias("top_vals"))
+        .From(Schema("ev", STREAM))
+        .GroupBy(F("user_id"))
+        .EmitChanges()
+    )
+    mgr.create_as_select(csas, available_now=True)
+    got = _rows(
+        cat.read("QUERYABLE_tk").select("user_id", Fn.posexplode("top_vals"))
+    )
+    want = _rows(
+        batch.groupBy("user_id")
+        .agg(Fn.slice(Fn.sort_array(Fn.collect_list("value"), asc=False), 1, 3).alias("t"))
+        .select("user_id", Fn.posexplode("t"))
+    )
+    assert got == want
+
+
+def test_streaming_topk_distinct_windowed_matches_batch(spark, events_stream):
+    cat, mgr, batch = events_stream
+    csas = Create(TABLE, "tkd").AsSelect(
+        Select(F("user_id"), TopKDistinct(F("event_type"), 2).Alias("tt"))
+        .From(Schema("ev", STREAM))
+        .WindowedBy(TumblingWindow(1, TimeUnit.HOURS))
+        .GroupBy(F("user_id"))
+        .EmitChanges()
+    )
+    mgr.create_as_select(csas, available_now=True)
+    got = _rows(
+        cat.read("QUERYABLE_tkd").select(
+            "window_start", "user_id", Fn.posexplode("tt")
+        )
+    )
+    want = _rows(
+        batch.groupBy(Fn.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(Fn.slice(Fn.sort_array(Fn.collect_set("event_type"), asc=False), 1, 2).alias("t"))
+        .select(Fn.col("w.start").alias("window_start"), "user_id", Fn.posexplode("t"))
+    )
+    assert got == want
+
+
+def test_streaming_histogram_matches_batch(spark, events_stream):
+    cat, mgr, batch = events_stream
+    csas = Create(TABLE, "hg").AsSelect(
+        Select(F("user_id"), Histogram(F("event_type"), 3).Alias("hist"))
+        .From(Schema("ev", STREAM))
+        .GroupBy(F("user_id"))
+        .EmitChanges()
+    )
+    mgr.create_as_select(csas, available_now=True)
+    got = _rows(cat.read("QUERYABLE_hg").select("user_id", Fn.explode("hist")))
+    want = _rows(
+        batch.groupBy("user_id", "event_type")
+        .agg(Fn.count("*").alias("cnt"))
+        .withColumn(
+            "rn",
+            Fn.row_number().over(
+                Window.partitionBy("user_id").orderBy(Fn.desc("cnt"), Fn.asc("event_type"))
+            ),
+        )
+        .filter(Fn.col("rn") <= 3)
+        .select("user_id", "event_type", Fn.col("cnt"))
+    )
+    assert got == want
+
+
+def test_streaming_collect_set_matches_batch(spark, events_stream):
+    cat, mgr, batch = events_stream
+    csas = Create(TABLE, "cs").AsSelect(
+        Select(F("user_id"), CollectSet(F("event_type")).Alias("types"))
+        .From(Schema("ev", STREAM))
+        .GroupBy(F("user_id"))
+        .EmitChanges()
+    )
+    mgr.create_as_select(csas, available_now=True)
+    got = _rows(cat.read("QUERYABLE_cs").select("user_id", Fn.posexplode("types")))
+    want = _rows(
+        batch.groupBy("user_id")
+        .agg(Fn.sort_array(Fn.collect_set("event_type")).alias("t"))
+        .select("user_id", Fn.posexplode("t"))
+    )
+    assert got == want
+
+
+def test_streaming_topk_state_rows_bounded(spark, events_stream):
+    """State rows == number of groups (not history size): 1000 events over 8
+    users keep exactly 8 state rows, and the kernel tests above bound the
+    bytes per row by k."""
+    cat, mgr, batch = events_stream
+    csas = Create(TABLE, "tk1").AsSelect(
+        Select(F("user_id"), TopK(F("value"), 3).Alias("tv"))
+        .From(Schema("ev", STREAM))
+        .GroupBy(F("user_id"))
+        .EmitChanges()
+    )
+    pq = mgr.create_as_select(csas, available_now=True, await_termination=False)
+    pq.streaming_query.awaitTermination()
+    progress = pq.streaming_query.lastProgress
+    pq.streaming_query = None
+    n_groups = batch.select("user_id").distinct().count()
+    ops = progress["stateOperators"]
+    assert ops and ops[0]["numRowsTotal"] == n_groups
+    got = _rows(cat.read("QUERYABLE_tk1").select("user_id", Fn.posexplode("tv")))
+    want = _rows(
+        batch.groupBy("user_id")
+        .agg(Fn.slice(Fn.sort_array(Fn.collect_list("value"), asc=False), 1, 3).alias("t"))
+        .select("user_id", Fn.posexplode("t"))
+    )
+    assert got == want

@@ -175,3 +175,37 @@ def test_stream_table_join_broadcasts_dimension(spark, sf, tmp_path):
     # must carry the broadcast hint on the dimension side
     plan = df._jdf.queryExecution().analyzed().toString()
     assert "broadcast" in plan.lower()
+
+
+def test_topk_twolevel_adaptive(spark, sf):
+    """Small inputs keep the single-agg plan (one shuffle); forcing the
+    threshold to 0 engages the salted two-level rewrite (two shuffles,
+    hot-key-safe) — the plan you'd want at 100x."""
+    from ksql_spark import F, STREAM, Schema, Select, TopK, compile_select
+
+    fact = spark.read.parquet(str(sf / "fact"))
+    q = (
+        Select(F("k"), TopK(F("v"), 3).Alias("tv"))
+        .From(Schema("fact", STREAM))
+        .GroupBy(F("k"))
+        .EmitChanges()
+    )
+    small = plan_of(compile_select(q, sources={"fact": fact}))
+    assert "__salt" not in small  # tiny input: single-agg plan, one shuffle
+
+    spark.conf.set("spark.ksql.topk.twolevelThresholdBytes", "0")
+    try:
+        forced = plan_of(compile_select(q, sources={"fact": fact}))
+    finally:
+        spark.conf.unset("spark.ksql.topk.twolevelThresholdBytes")
+    assert "__salt" in forced  # salted rewrite engaged
+    # and the rewrite's result is still exact on a skewed input
+    skew = spark.range(20_000).select(
+        Fn.lit(1).alias("k"), (Fn.col("id") % 977).cast("double").alias("v")
+    )
+    spark.conf.set("spark.ksql.topk.twolevelThresholdBytes", "0")
+    try:
+        got = compile_select(q, sources={"fact": skew}).collect()
+    finally:
+        spark.conf.unset("spark.ksql.topk.twolevelThresholdBytes")
+    assert got[0]["tv"] == [976.0, 976.0, 976.0]
