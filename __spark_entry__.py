@@ -1163,6 +1163,23 @@ def q_embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb.filter(Fn.col("vec_id") != 0), query, k=10, n_planes=8)
 
 
+def q_embed_lsh_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # batched ANN: every 20th vector is a query, the rest the corpus; one
+    # narrow bucket join answers all queries at once (the form that scales
+    # to millions of queries).  Oracle = full DuckDB bucket-mirror.
+    from ksql_spark.operators.similarity import lsh_topk_batch
+
+    src = _load(spark, sf_dir, "embeddings")
+    emb = src["embeddings"]
+    return lsh_topk_batch(
+        emb.filter(Fn.col("vec_id") % 20 != 0),
+        emb.filter(Fn.col("vec_id") % 20 == 0),
+        k=10,
+        n_planes=8,
+        n_dims=64,
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mapInPandas plumbing with deterministic stub decode.  The stub features
     # are md5-derived (v * 2^-16, exactly representable in float32), so the
@@ -1243,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "embed_neardup_exact": q_embed_neardup_exact,
         "embed_lsh_ann": q_embed_lsh_ann,
+        "embed_lsh_ann_batch": q_embed_lsh_ann_batch,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1259,6 +1277,7 @@ def oracle_sql() -> dict[str, str]:
         sql_dedup_clusters,
         sql_embed_cosine_topk,
         sql_embed_lsh_ann,
+        sql_embed_lsh_ann_batch,
         sql_embed_neardup_planted,
         sql_minhash_pairs,
         sql_ngram_jaccard_pairs,
@@ -1509,6 +1528,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_neardup": sql_embed_neardup_planted(threshold=0.99),
         "embed_neardup_exact": sql_embed_neardup_planted(threshold=0.99),
         "embed_lsh_ann": sql_embed_lsh_ann(k=10, n_planes=8),
+        "embed_lsh_ann_batch": sql_embed_lsh_ann_batch(k=10, n_planes=8),
         "multimodal_features": """
             WITH m AS (
                 SELECT range AS media_id,

@@ -155,6 +155,83 @@ def lsh_topk(
     )
 
 
+def lsh_topk_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    n_planes: int = 8,
+    n_dims: int | None = None,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Batched ANN: approximate top-k for a query *table* (millions of
+    queries), not one driver-side vector.
+
+    Both sides are bucketed with the same hyperplanes; each query probes its
+    own bucket plus every 1-bit-flip neighbor (``multiprobe``).  The bucket
+    join is NARROW — ids and bucket only, vectors deliberately left out so
+    the ×(n_planes+1) probe explosion never replicates vector payloads
+    through the shuffle.  Vectors re-join the (small) candidate set by id
+    for the exact-cosine re-rank, then a per-query window top-k.
+
+    Output: (query_id, <id_col>, cosine_sim, rank) with rank 0-based.
+
+    Scale: shuffles are keyed on bucket / id / query_id; candidate volume is
+    ~ (probes / 2^n_planes) x |corpus| per query — the same pruning as the
+    single-query path, amortized over the whole query table in one job.
+    """
+    from pyspark.sql.window import Window
+
+    if n_dims is None:
+        # prefer passing n_dims explicitly: this probe is a tiny driver-side
+        # job and serializes plan construction in multi-operator pipelines
+        n_dims = len(queries.select(vec_col).first()[0])
+    planes = hyperplanes(n_planes, n_dims)
+
+    c = corpus.select(
+        F.col(id_col), hyperplane_bucket(F.col(vec_col), planes).alias("__bucket")
+    )
+    qb = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("__qb"),
+    )
+    probe_cols = [F.col("__qb")]
+    if multiprobe:
+        probe_cols += [F.col("__qb").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+    probed = qb.select("__qid", F.explode(F.array(*probe_cols)).alias("__bucket"))
+
+    # each corpus vector lives in exactly one bucket and probe buckets are
+    # distinct, so (query, candidate) pairs are already unique — no dedup
+    cand = probed.join(c, "__bucket").select("__qid", id_col)
+
+    qvecs = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+    )
+    cvecs = corpus.select(F.col(id_col), F.col(vec_col))
+    scored = (
+        cand.join(cvecs, id_col)
+        .join(qvecs, "__qid")
+        .select(
+            "__qid",
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col(id_col),
+            F.col("cosine_sim"),
+            (F.col("__rn") - 1).cast("bigint").alias("rank"),
+        )
+    )
+
+
 def add_lsh_buckets(
     df: DataFrame, vec_col: str = "embedding", n_planes: int = 8, n_dims: int | None = None
 ) -> DataFrame:

@@ -193,3 +193,37 @@ def sql_dedup_clusters(shingle_n: int = 3, threshold: float = 0.7) -> str:
                coalesce(lab.cluster, doc.doc_id) = doc.doc_id AS keep
         FROM documents doc LEFT JOIN lab ON doc.doc_id = lab.id
     """
+
+
+def sql_embed_lsh_ann_batch(
+    k: int = 10, n_planes: int = 8, n_dims: int = 64, query_mod: int = 20
+) -> str:
+    """Full mirror of similarity.lsh_topk_batch over the embeddings table
+    with every ``query_mod``-th vector as a query: identical buckets,
+    identical multi-probe set, identical per-query re-rank — the
+    approximate rows themselves hash-compare, so any bucket-math drift
+    fails the gate."""
+    from .operators.similarity import hyperplanes
+
+    planes = hyperplanes(n_planes, n_dims)
+    probes = ", ".join(["qb"] + [f"xor(qb, {1 << p})" for p in range(n_planes)])
+    cos = _sql_cosine("cv.embedding", "qv.embedding")
+    return f"""
+        WITH c AS (SELECT vec_id, {sql_bucket_expr("embedding", planes)} AS bucket
+                   FROM embeddings WHERE vec_id % {query_mod} != 0),
+             q AS (SELECT vec_id AS qid, {sql_bucket_expr("embedding", planes)} AS qb
+                   FROM embeddings WHERE vec_id % {query_mod} = 0),
+             probed AS (SELECT qid, unnest([{probes}]) AS bucket FROM q),
+             cand AS (SELECT p.qid, c.vec_id FROM probed p JOIN c ON c.bucket = p.bucket),
+             scored AS (
+                 SELECT cand.qid, cand.vec_id, round({cos}, 6) AS cosine_sim
+                 FROM cand
+                 JOIN embeddings cv ON cv.vec_id = cand.vec_id
+                 JOIN embeddings qv ON qv.vec_id = cand.qid),
+             r AS (SELECT qid, vec_id, cosine_sim,
+                          row_number() OVER (PARTITION BY qid
+                                             ORDER BY cosine_sim DESC, vec_id ASC) AS rn
+                   FROM scored)
+        SELECT qid AS query_id, vec_id, cosine_sim, (rn - 1)::bigint AS rank
+        FROM r WHERE rn <= {k}
+    """

@@ -97,3 +97,45 @@ def test_lsh_topk_finds_true_near_neighbors(spark):
         ).collect()
         assert hits[0]["vec_id"] == qid + 1000000  # the planted twin, rank 1
         assert hits[0]["cosine_sim"] > 0.99
+
+
+def test_lsh_topk_batch_matches_single_query(spark, emb):
+    """Batched ANN over a query table == the single-query operator run once
+    per query (same buckets, same probes, same re-rank)."""
+    from ksql_spark.operators.similarity import lsh_topk_batch
+
+    corpus = emb.filter(Fn.col("vec_id") % 10 != 0)
+    queries = emb.filter(Fn.col("vec_id") % 10 == 0)
+    batch = lsh_topk_batch(corpus, queries, k=5, n_planes=8, n_dims=64)
+    by_q = {}
+    for r in batch.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cosine_sim"]))
+    assert by_q, "no batch results"
+    for qrow in queries.collect():
+        qid = qrow["vec_id"]
+        single = lsh_topk(corpus, list(qrow["embedding"]), k=5, n_planes=8).collect()
+        want = [(i, r["vec_id"], r["cosine_sim"]) for i, r in enumerate(single)]
+        assert sorted(by_q.get(qid, [])) == want
+
+
+def test_lsh_topk_batch_finds_planted_neighbors(spark):
+    """Every query retrieves its planted ~0.999-cosine twin at rank 1."""
+    from ksql_spark.operators.similarity import lsh_topk_batch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", Fn.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    qids = [0, 7, 13, 21]
+    plants = emb.filter(Fn.col("vec_id").isin(qids)).select(
+        (Fn.col("vec_id") + 1000000).alias("vec_id"),
+        Fn.transform(
+            "embedding", lambda x, i: x + ((i % 5) - 2).cast("double") * Fn.lit(0.004)
+        ).alias("embedding"),
+    )
+    corpus = emb.filter(~Fn.col("vec_id").isin(qids)).unionByName(plants)
+    queries = emb.filter(Fn.col("vec_id").isin(qids))
+    out = lsh_topk_batch(corpus, queries, k=10, n_planes=8, n_dims=64).collect()
+    rank1 = {r["query_id"]: r for r in out if r["rank"] == 0}
+    for qid in qids:
+        assert rank1[qid]["vec_id"] == qid + 1000000
+        assert rank1[qid]["cosine_sim"] > 0.99
