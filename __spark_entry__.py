@@ -1198,6 +1198,219 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_analyzer_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's semantic rule sets as data: each row is one
+    (rule, raises) probe of the builder analyzers — the 6 select rules
+    (select_builder.go:127-187), the derived-alias rule
+    (select_builder.go:768-794) and the create rules
+    (create_builder.go:45-73).  Oracle = the expected truth table as VALUES,
+    so a silently-dropped validation flips the row and fails the gate."""
+    from ksql_spark import (
+        TABLE,
+        TOPIC,
+        Count,
+        Create,
+        F,
+        KType,
+        STREAM,
+        Schema,
+        SchemaField,
+        Select,
+        Sum,
+        TimeUnit,
+        TumblingWindow,
+    )
+    from ksql_spark.errors import AnalysisError
+
+    def probe(fn) -> bool:
+        try:
+            fn()
+            return False
+        except AnalysisError:
+            return True
+
+    cases = [
+        ("select_requires_from", lambda: Select(F("a")).validate()),
+        ("select_requires_fields", lambda: Select().From(Schema("s", STREAM)).validate()),
+        (
+            "emit_final_requires_window",
+            lambda: Select(F("a"), Count(F("a")).Alias("c"))
+            .From(Schema("s", STREAM))
+            .GroupBy(F("a"))
+            .EmitFinal()
+            .validate(),
+        ),
+        (
+            "groupby_stream_requires_window",
+            lambda: Select(F("a"), Count(F("a")).Alias("c"))
+            .From(Schema("s", STREAM))
+            .GroupBy(F("a"))
+            .validate(),
+        ),
+        (
+            "groupby_stream_emit_changes_ok",
+            lambda: Select(F("a"), Count(F("a")).Alias("c"))
+            .From(Schema("s", STREAM))
+            .GroupBy(F("a"))
+            .EmitChanges()
+            .validate(),
+        ),
+        (
+            "having_requires_groupby",
+            lambda: Select(F("a"))
+            .From(Schema("s", STREAM))
+            .Having(Count(F("a")).Greater(1))
+            .validate(),
+        ),
+        (
+            "agg_only_stream_requires_groupby",
+            lambda: Select(Sum(F("v")).Alias("s"))
+            .From(Schema("s", STREAM))
+            .EmitChanges()
+            .validate(),
+        ),
+        (
+            "window_on_table_rejected",
+            lambda: Select(F("a"), Count(F("a")).Alias("c"))
+            .From(Schema("t", TABLE))
+            .WindowedBy(TumblingWindow(1, TimeUnit.HOURS))
+            .GroupBy(F("a"))
+            .validate(),
+        ),
+        (
+            "mixed_agg_plain_requires_groupby",
+            lambda: Select(F("a"), Count(F("b")).Alias("c"))
+            .From(Schema("t", TABLE))
+            .validate(),
+        ),
+        (
+            "derived_field_requires_alias",
+            lambda: Select(F("a"), Count(F("b")))
+            .From(Schema("t", TABLE))
+            .GroupBy(F("a"))
+            .validate(),
+        ),
+        (
+            "windowed_stream_groupby_ok",
+            lambda: Select(F("a"), Count(F("a")).Alias("c"))
+            .From(Schema("s", STREAM))
+            .WindowedBy(TumblingWindow(1, TimeUnit.HOURS))
+            .GroupBy(F("a"))
+            .validate(),
+        ),
+        (
+            "create_fields_and_select_rejected",
+            lambda: Create(STREAM, "x")
+            .SchemaFields(SchemaField("a", KType.BIGINT))
+            .AsSelect(Select(F("a")).From(Schema("s", STREAM)))
+            .validate(),
+        ),
+        ("create_requires_fields_or_select", lambda: Create(STREAM, "x").validate()),
+        (
+            "create_table_requires_primary_key",
+            lambda: Create(TABLE, "x").SchemaFields(SchemaField("a", KType.BIGINT)).validate(),
+        ),
+        (
+            "create_table_pk_ok",
+            lambda: Create(TABLE, "x")
+            .SchemaFields(SchemaField("a", KType.BIGINT, is_primary=True))
+            .validate(),
+        ),
+        (
+            "create_stream_from_table_rejected",
+            lambda: Create(STREAM, "x")
+            .AsSelect(Select(F("a")).From(Schema("t", TABLE)))
+            .validate(),
+        ),
+        (
+            "create_table_from_stream_requires_agg",
+            lambda: Create(TABLE, "x")
+            .AsSelect(Select(F("a")).From(Schema("s", STREAM)))
+            .validate(),
+        ),
+        ("create_topic_rejected", lambda: Create(TOPIC, "x")),
+    ]
+    rows = [(name, probe(fn)) for name, fn in cases]
+    return spark.createDataFrame(rows, "rule string, raises boolean")
+
+
+ANALYZER_RULE_EXPECTATIONS = [
+    ("select_requires_from", True),
+    ("select_requires_fields", True),
+    ("emit_final_requires_window", True),
+    ("groupby_stream_requires_window", True),
+    ("groupby_stream_emit_changes_ok", False),
+    ("having_requires_groupby", True),
+    ("agg_only_stream_requires_groupby", True),
+    ("window_on_table_rejected", True),
+    ("mixed_agg_plain_requires_groupby", True),
+    ("derived_field_requires_alias", True),
+    ("windowed_stream_groupby_ok", False),
+    ("create_fields_and_select_rejected", True),
+    ("create_requires_fields_or_select", True),
+    ("create_table_requires_primary_key", True),
+    ("create_table_pk_ok", False),
+    ("create_stream_from_table_rejected", True),
+    ("create_table_from_stream_requires_agg", True),
+    ("create_topic_rejected", True),
+]
+
+
+def q_select_once_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SelectOnce — the pull-query client API (reference: SelectOnce,
+    streams/specification.go:588-620): one-shot read of current data through
+    the engine, returned as rows.  Oracle = the same filter in SQL."""
+    from ksql_spark import Catalog, F, STREAM, Schema, Select
+    from ksql_spark.streaming.engine import PersistentQueryManager
+
+    work = tempfile.mkdtemp(prefix="ksql_driver_pull_")
+    cat = Catalog(spark, root=os.path.join(work, "catalog"))
+    cat.register_parquet(
+        "events", os.path.join(sf_dir, "events.parquet"), ref=STREAM,
+        event_time_col="ts", event_order_cols=["ts", "event_id"],
+    )
+    mgr = PersistentQueryManager(
+        spark, cat, workdir=os.path.join(work, "engine"), enable_metrics=False
+    )
+    sb = (
+        Select(F("event_id"), F("user_id"), F("event_type"))
+        .From(Schema("events", STREAM))
+        .Where(F("value").Greater(90))
+    )
+    rows = mgr.select_once(sb)  # the client-facing list[Row] surface
+    return spark.createDataFrame(rows, "event_id bigint, user_id bigint, event_type string")
+
+
+def q_select_with_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SelectWithEmit — the push-query client API (reference: SelectWithEmit,
+    streams/specification.go:626-655): a real streaming query drained to
+    completion, yielding the committed changelog rows.  One availableNow
+    batch -> the changelog carries each key's final upsert; oracle = the
+    batch aggregate."""
+    from ksql_spark import Catalog, Count, F, STREAM, Schema, Select
+    from ksql_spark.streaming.engine import PersistentQueryManager
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    work = tempfile.mkdtemp(prefix="ksql_driver_emit_")
+    cat = Catalog(spark, root=os.path.join(work, "catalog"))
+    cat.register_parquet(
+        "events", os.path.join(sf_dir, "events.parquet"), ref=STREAM,
+        event_time_col="ts", event_order_cols=["ts", "event_id"],
+    )
+    mgr = PersistentQueryManager(
+        spark, cat, workdir=os.path.join(work, "engine"), grace="365 days",
+        enable_metrics=False,
+    )
+    sb = (
+        Select(F("event_type"), Count(F("event_id")).Alias("cnt"))
+        .From(Schema("events", STREAM))
+        .GroupBy(F("event_type"))
+        .EmitChanges()
+    )
+    rows = [(r["event_type"], r["cnt"]) for r in mgr.select_with_emit(sb)]
+    return spark.createDataFrame(rows, "event_type string, cnt bigint")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1262,6 +1475,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_lsh_ann": q_embed_lsh_ann,
         "embed_lsh_ann_batch": q_embed_lsh_ann_batch,
         "multimodal_features": q_multimodal_features,
+        "analyzer_rules": q_analyzer_rules,
+        "select_once_pull": q_select_once_pull,
+        "select_with_emit": q_select_with_emit,
     }
 
 
@@ -1529,6 +1745,15 @@ def oracle_sql() -> dict[str, str]:
         "embed_neardup_exact": sql_embed_neardup_planted(threshold=0.99),
         "embed_lsh_ann": sql_embed_lsh_ann(k=10, n_planes=8),
         "embed_lsh_ann_batch": sql_embed_lsh_ann_batch(k=10, n_planes=8),
+        "analyzer_rules": "SELECT * FROM (VALUES "
+        + ", ".join(f"('{n}', {str(v).lower()})" for n, v in ANALYZER_RULE_EXPECTATIONS)
+        + ") t(rule, raises)",
+        "select_once_pull": """
+            SELECT event_id, user_id, event_type FROM events WHERE value > 90
+        """,
+        "select_with_emit": """
+            SELECT event_type, count(event_id) AS cnt FROM events GROUP BY event_type
+        """,
         "multimodal_features": """
             WITH m AS (
                 SELECT range AS media_id,
