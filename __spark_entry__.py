@@ -1198,6 +1198,25 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the REAL codec path: genuinely encoded PNG / WAV / RVID payloads are
+    # decoded by the pure-stdlib codecs and featurized from exact integer
+    # statistics; the oracle recomputes those statistics from the generative
+    # byte formula WITHOUT a codec — a decoding bug cannot pass.
+    from ksql_spark.operators.multimodal import extract_features, synthesize_media_real
+
+    media = synthesize_media_real(spark, n=64, seed=42)
+    feats = extract_features(media, decode_stub=False)
+    return feats.select(
+        "media_id",
+        "kind",
+        *[
+            Fn.round(Fn.element_at("features", i + 1), 6).alias(f"f{i}")
+            for i in range(4)
+        ],
+    )
+
+
 def q_analyzer_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's semantic rule sets as data: each row is one
     (rule, raises) probe of the builder analyzers — the 6 select rules
@@ -1475,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_lsh_ann": q_embed_lsh_ann,
         "embed_lsh_ann_batch": q_embed_lsh_ann_batch,
         "multimodal_features": q_multimodal_features,
+        "multimodal_decode": q_multimodal_decode,
         "analyzer_rules": q_analyzer_rules,
         "select_once_pull": q_select_once_pull,
         "select_with_emit": q_select_with_emit,
@@ -1496,6 +1516,7 @@ def oracle_sql() -> dict[str, str]:
         sql_embed_lsh_ann_batch,
         sql_embed_neardup_planted,
         sql_minhash_pairs,
+        sql_multimodal_decode,
         sql_ngram_jaccard_pairs,
         sql_simhash_pairs,
     )
@@ -1766,4 +1787,5 @@ def oracle_sql() -> dict[str, str]:
                    round((('0x' || substr(md5(payload_str), 1, 4))::int) / 65536.0, 6) AS f0
             FROM m
         """,
+        "multimodal_decode": sql_multimodal_decode(n=64, seed=42),
     }

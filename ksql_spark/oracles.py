@@ -227,3 +227,55 @@ def sql_embed_lsh_ann_batch(
         SELECT qid AS query_id, vec_id, cosine_sim, (rn - 1)::bigint AS rank
         FROM r WHERE rn <= {k}
     """
+
+
+def sql_multimodal_decode(n: int = 64, seed: int = 42) -> str:
+    """Oracle for the REAL multimodal codec path: recomputes the decoded
+    pixel/sample statistics straight from the generative md5 byte formula
+    (multimodal.synthesize_media_real), with no codec — if the Spark side's
+    PNG/WAV/RVID decoding (operators/codecs.py) mangled any byte, the
+    features would not match.  All features are exact-integer sums followed
+    by fixed IEEE divisions, so float64 results are bit-identical."""
+    return f"""
+        WITH b AS (
+            SELECT m.range AS i, j.range AS j,
+                   ('0x' || substr(md5(concat({seed}, ':', m.range, ':', (j.range // 16))),
+                                   ((j.range % 16) * 2 + 1)::int, 2))::bigint AS byte
+            FROM range({n}) m, range(256) j
+        ),
+        img AS (
+            SELECT i,
+                   round((sum(byte) / 192) / 255.0, 6) AS f0,
+                   round((sum(CASE WHEN j % 3 = 0 THEN byte END) / 64) / 255.0, 6) AS f1,
+                   round((sum(CASE WHEN j % 3 = 1 THEN byte END) / 64) / 255.0, 6) AS f2,
+                   round((sum(CASE WHEN j % 3 = 2 THEN byte END) / 64) / 255.0, 6) AS f3
+            FROM b WHERE i % 3 = 0 AND j < 192 GROUP BY i
+        ),
+        aud_s AS (
+            SELECT hi.i AS i, (hi.byte * 256 + lo.byte - 32768) AS v
+            FROM b hi JOIN b lo ON hi.i = lo.i AND lo.j = hi.j + 1
+            WHERE hi.i % 3 = 1 AND hi.j % 2 = 0
+        ),
+        aud AS (
+            SELECT i,
+                   round((sum(v) / 128) / 32768.0, 6) AS f0,
+                   round(sqrt(sum(v * v) / 128) / 32768.0, 6) AS f1,
+                   round(max(abs(v)) / 32768.0, 6) AS f2,
+                   round(128 / 65536.0, 6) AS f3
+            FROM aud_s GROUP BY i
+        ),
+        vid AS (
+            SELECT i,
+                   round((sum(byte) / 192) / 255.0, 6) AS f0,
+                   round(4 / 256.0, 6) AS f1,
+                   round(4 / 4096.0, 6) AS f2,
+                   round(4 / 4096.0, 6) AS f3
+            FROM b WHERE i % 3 = 2 AND j < 192 GROUP BY i
+        ),
+        allr AS (
+            SELECT i, 'image' AS kind, f0, f1, f2, f3 FROM img
+            UNION ALL SELECT i, 'audio', f0, f1, f2, f3 FROM aud
+            UNION ALL SELECT i, 'video', f0, f1, f2, f3 FROM vid
+        )
+        SELECT i AS media_id, kind, f0, f1, f2, f3 FROM allr
+    """

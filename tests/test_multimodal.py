@@ -42,11 +42,12 @@ def test_features_deterministic(spark):
     assert sorted(map(repr, a.collect())) == sorted(map(repr, b.collect()))
 
 
-def test_real_decode_is_stubbed(media):
-    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+def test_real_decode_rejects_non_media_payloads(media):
+    """decode_stub=False is a REAL decoder now (operators/codecs.py): fed
+    the stub fixture's plain-text payloads it must fail loudly, not emit
+    garbage features."""
+    with pytest.raises(Exception, match="not a PNG|not an RVID|RIFF|Error"):
         extract_features(media, decode_stub=False).collect()
-    with pytest.raises(NotImplementedError):
-        resize_images(media, decode_stub=False)
 
 
 def test_resize_dims_jvm_side(media):
