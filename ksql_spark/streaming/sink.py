@@ -182,18 +182,36 @@ class IcebergChangelogSink:
         self.keys = keys
         self.op = op
 
-    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:  # pragma: no cover
-        spark = batch_df.sparkSession
-        last = (
-            spark.sql(f"SELECT summary['ksql.batch_id'] v FROM {self.table}.snapshots "
-                      "ORDER BY committed_at DESC LIMIT 1").collect()
+    # SQL generation is split out so the production path's statements are
+    # unit-testable without an Iceberg runtime (tests/test_streaming.py)
+
+    def last_epoch_sql(self) -> str:
+        """Latest committed epoch id from the snapshot summary properties."""
+        return (
+            f"SELECT summary['ksql.batch_id'] v FROM {self.table}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
         )
-        if last and last[0]["v"] is not None and int(last[0]["v"]) >= batch_id:
-            return  # epoch already merged
-        view = f"__ksql_batch_{batch_id}"
-        batch_df.withColumn("__op", F.lit(self.op)).createOrReplaceTempView(view)
+
+    def merge_sql(self, view: str) -> str:
+        """Keyed upsert MERGE — Iceberg's atomic snapshot swap is the commit
+        point (the parquet sink's os.rename analog)."""
         on = " AND ".join(f"t.{k} = s.{k}" for k in self.keys)
-        spark.sql(
+        return (
             f"MERGE INTO {self.table} t USING {view} s ON {on} "
             "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
         )
+
+    @staticmethod
+    def should_skip(last_committed: object, batch_id: int) -> bool:
+        """Epoch-idempotency predicate: skip iff a snapshot already recorded
+        this epoch (or a later one — re-delivery is always of old epochs)."""
+        return last_committed is not None and int(last_committed) >= batch_id
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:  # pragma: no cover
+        spark = batch_df.sparkSession
+        last = spark.sql(self.last_epoch_sql()).collect()
+        if last and self.should_skip(last[0]["v"], batch_id):
+            return  # epoch already merged
+        view = f"__ksql_batch_{batch_id}"
+        batch_df.withColumn("__op", F.lit(self.op)).createOrReplaceTempView(view)
+        spark.sql(self.merge_sql(view))

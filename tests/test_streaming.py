@@ -559,3 +559,26 @@ def test_session_changes_join_keeps_left_watermark(spark, workdir):
     plan = df._jdf.queryExecution().analyzed().toString()
     # left + right pre-join watermarks AND the session operator's own
     assert plan.count("EventTimeWatermark") >= 3
+
+
+def test_iceberg_sink_sql_generation():
+    """The production Iceberg path can't run here (no runtime jars), but its
+    statements and epoch-skip predicate must not bit-rot silently."""
+    from ksql_spark.streaming.sink import IcebergChangelogSink
+
+    sink = IcebergChangelogSink(
+        "cat.db.conv_stats", keys=["window_start", "window_end", "conv_id"]
+    )
+    assert sink.last_epoch_sql() == (
+        "SELECT summary['ksql.batch_id'] v FROM cat.db.conv_stats.snapshots "
+        "ORDER BY committed_at DESC LIMIT 1"
+    )
+    assert sink.merge_sql("__ksql_batch_7") == (
+        "MERGE INTO cat.db.conv_stats t USING __ksql_batch_7 s "
+        "ON t.window_start = s.window_start AND t.window_end = s.window_end "
+        "AND t.conv_id = s.conv_id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    # skip iff a snapshot already recorded this (or a later) epoch
+    assert sink.should_skip("7", 7) and sink.should_skip(9, 7)
+    assert not sink.should_skip(None, 7) and not sink.should_skip("6", 7)
