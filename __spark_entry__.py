@@ -1198,6 +1198,70 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cep_match_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP pattern: view -> click -> purchase per user within 1 day,
+    AFTER MATCH SKIP TO FIRST (earliest match per key).  Lowered to two
+    time-bounded self-joins + a min-tuple aggregate — pure codegen'd joins,
+    the same plan shape a streaming run uses (operators/cep.py)."""
+    from ksql_spark.operators.cep import match_sequence
+
+    src = _load(spark, sf_dir, "events")
+    m = match_sequence(
+        src["events"],
+        [
+            ("v", Fn.col("event_type") == "view"),
+            ("c", Fn.col("event_type") == "click"),
+            ("p", Fn.col("event_type") == "purchase"),
+        ],
+        within_seconds=86400,
+        mode="first",
+    )
+    return m.select("user_id", "v_id", "c_id", "p_id")
+
+
+def streaming_cep_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same CEP pattern as a STREAMING job: click -> purchase within 4h,
+    lowered to a watermarked stream-stream self-join in append mode through
+    the exactly-once sink — each match emitted exactly once; join state
+    evicted by the time bound.  Oracle = the batch join recompute."""
+    from ksql_spark import Catalog, STREAM
+    from ksql_spark.operators.cep import match_sequence
+    from ksql_spark.streaming.sink import ExactlyOnceParquetSink
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    work = tempfile.mkdtemp(prefix="ksql_driver_cep_")
+    cat = Catalog(spark, root=os.path.join(work, "catalog"))
+    cat.register_parquet(
+        "events",
+        os.path.join(sf_dir, "events.parquet"),
+        ref=STREAM,
+        event_time_col="ts",
+        event_order_cols=["ts", "event_id"],
+    )
+    src = cat.read_stream("events")
+    if dict(src.dtypes).get("ts") == "timestamp_ntz":
+        src = src.withColumn("ts", Fn.col("ts").cast("timestamp"))
+    src = src.withWatermark("ts", "365 days")
+    m = match_sequence(
+        src,
+        [
+            ("click", Fn.col("event_type") == "click"),
+            ("purchase", Fn.col("event_type") == "purchase"),
+        ],
+        within_seconds=14400,
+    ).select("user_id", Fn.col("click_id"), Fn.col("purchase_id"))
+    sink = ExactlyOnceParquetSink(os.path.join(work, "engine", "cep"), lineage=False)
+    q = (
+        m.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink.read_data(spark)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the REAL codec path: genuinely encoded PNG / WAV / RVID payloads are
     # decoded by the pure-stdlib codecs and featurized from exact integer
@@ -1495,6 +1559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_lsh_ann_batch": q_embed_lsh_ann_batch,
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
+        "cep_match_sequence": q_cep_match_sequence,
+        "streaming_cep_sequence": streaming_cep_sequence,
         "analyzer_rules": q_analyzer_rules,
         "select_once_pull": q_select_once_pull,
         "select_with_emit": q_select_with_emit,
@@ -1788,4 +1854,28 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "multimodal_decode": sql_multimodal_decode(n=64, seed=42),
+        "cep_match_sequence": """
+            WITH m AS (
+                SELECT v.user_id, v.event_id AS v_id, c.event_id AS c_id,
+                       p.event_id AS p_id, v.ts AS v_ts, c.ts AS c_ts, p.ts AS p_ts
+                FROM events v
+                JOIN events c ON c.user_id = v.user_id
+                 AND v.event_type = 'view' AND c.event_type = 'click'
+                 AND (c.ts > v.ts OR (c.ts = v.ts AND c.event_id > v.event_id))
+                 AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '86400 seconds'
+                JOIN events p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+                 AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+                 AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '86400 seconds'
+            ),
+            r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY v_ts, v_id, c_ts, c_id, p_ts, p_id) AS rn FROM m)
+            SELECT user_id, v_id, c_id, p_id FROM r WHERE rn = 1
+        """,
+        "streaming_cep_sequence": """
+            SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+            FROM events c JOIN events p ON c.user_id = p.user_id
+            WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+              AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+              AND p.ts <= c.ts + INTERVAL '14400 seconds'
+        """,
     }

@@ -1,0 +1,103 @@
+"""CEP: event-pattern sequence matching over keyed event streams.
+
+ksqlDB (and the reference client, gulfstream-h/ksql) stops at windowed
+aggregates and joins; a CEP engine (the north rule names one) also needs
+"A followed by B [followed by C ...] within T per key".  The Spark-first
+lowering is a chain of time-bounded self-joins:
+
+  * step i is a filtered view of the event source (its predicate);
+  * consecutive steps join on the key with a strict event-order bound
+    ``(ts_i, id_i) < (ts_i+1, id_i+1)`` — deterministic total order, the
+    same offset contract as LATEST_BY_OFFSET;
+  * every step must land within ``within_seconds`` of step 0 — which is
+    exactly the state-cleanup bound a streaming stream-stream join needs,
+    so THE SAME PLAN runs batch and streaming (Spark 4 chains multiple
+    stateful joins in append mode; each join's state is evicted once the
+    watermark passes the bound).
+
+Match semantics: ``mode='all'`` emits every ordered tuple that satisfies
+the pattern (relational semantics — deterministic, oracle-checkable, and
+what a chained join computes anyway); ``mode='first'`` keeps the earliest
+match per key (Flink's AFTER MATCH SKIP TO FIRST analog) via a min-tuple
+aggregate over the matches.
+
+Scale: each join shuffles on the key; state per join is bounded by the
+time window (watermark eviction); no UDFs anywhere — the whole pattern is
+codegen'd joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def match_sequence(
+    df: DataFrame,
+    steps: list[tuple[str, Column]],
+    within_seconds: float,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    mode: str = "all",
+) -> DataFrame:
+    """Detect ordered event sequences per key.
+
+    ``steps`` are (name, predicate) pairs; the output carries, per match,
+    the key plus ``<name>_id`` / ``<name>_ts`` for every step.  Works on a
+    batch DataFrame or a watermarked stream (same plan).
+    """
+    if len(steps) < 2:
+        raise ValueError("a sequence pattern needs at least 2 steps")
+    if mode not in ("all", "first"):
+        raise ValueError(f"unknown match mode {mode!r}")
+
+    def leg(i: int, name: str, pred: Column) -> DataFrame:
+        return df.filter(pred).select(
+            F.col(key_col).alias(f"__k{i}"),
+            F.col(ts_col).alias(f"{name}_ts"),
+            F.col(id_col).alias(f"{name}_id"),
+        )
+
+    names = [n for n, _ in steps]
+    out = leg(0, names[0], steps[0][1])
+    for i, (name, pred) in enumerate(steps[1:], start=1):
+        right = leg(i, name, pred)
+        prev, cur = names[i - 1], name
+        order = (F.col(f"{cur}_ts") > F.col(f"{prev}_ts")) | (
+            (F.col(f"{cur}_ts") == F.col(f"{prev}_ts"))
+            & (F.col(f"{cur}_id") > F.col(f"{prev}_id"))
+        )
+        bound = F.col(f"{cur}_ts") <= F.col(f"{names[0]}_ts") + F.expr(
+            f"INTERVAL {within_seconds} SECONDS"
+        )
+        # the lower bound vs step 0 keeps every join's state cleanup-able on
+        # both sides (symmetric time range, same shape compile.py gives
+        # WITHIN joins)
+        lower = F.col(f"{cur}_ts") >= F.col(f"{names[0]}_ts")
+        out = out.join(
+            right,
+            (F.col("__k0") == F.col(f"__k{i}")) & order & bound & lower,
+            "inner",
+        ).drop(f"__k{i}")
+
+    cols = [F.col("__k0").alias(key_col)]
+    for n in names:
+        cols += [F.col(f"{n}_id"), F.col(f"{n}_ts")]
+    out = out.select(*cols)
+
+    if mode == "first":
+        # earliest match per key: min over the ordered (ts, id, ...) tuple
+        tup = F.struct(
+            *[c for n in names for c in (F.col(f"{n}_ts"), F.col(f"{n}_id"))]
+        )
+        out = (
+            out.groupBy(key_col)
+            .agg(F.min(tup).alias("__m"))
+            .select(
+                F.col(key_col),
+                *[F.col(f"__m.{n}_id").alias(f"{n}_id") for n in names],
+                *[F.col(f"__m.{n}_ts").alias(f"{n}_ts") for n in names],
+            )
+        )
+    return out

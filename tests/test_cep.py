@@ -1,0 +1,115 @@
+"""CEP sequence matching (operators/cep.py): ordering, bounds, match modes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as Fn
+
+from ksql_spark.operators.cep import match_sequence
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # user 1: A(t=0) -> B(t=10) -> A(t=20) -> B(t=25)
+        (1, 1, "A", "2024-01-01 00:00:00"),
+        (2, 1, "B", "2024-01-01 00:00:10"),
+        (3, 1, "A", "2024-01-01 00:00:20"),
+        (4, 1, "B", "2024-01-01 00:00:25"),
+        # user 2: B before A only -> no match
+        (5, 2, "B", "2024-01-01 00:00:00"),
+        (6, 2, "A", "2024-01-01 00:00:10"),
+        # user 3: A then B but outside the window
+        (7, 3, "A", "2024-01-01 00:00:00"),
+        (8, 3, "B", "2024-01-01 01:00:00"),
+        # user 4: same-timestamp tie broken by event id
+        (9, 4, "A", "2024-01-01 00:00:00"),
+        (10, 4, "B", "2024-01-01 00:00:00"),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ts_s string"
+    ).select("event_id", "user_id", "event_type", Fn.col("ts_s").cast("timestamp").alias("ts"))
+
+
+def STEPS():
+    return [("a", Fn.col("event_type") == "A"), ("b", Fn.col("event_type") == "B")]
+
+
+def test_all_matches_within_bound(spark, events):
+    got = sorted(
+        (r["user_id"], r["a_id"], r["b_id"])
+        for r in match_sequence(events, STEPS(), within_seconds=30).collect()
+    )
+    # user 1: (1,2), (1,4), (3,4); user 4 same-ts tie (9,10); user 2 reversed
+    # -> none; user 3 out of window -> none
+    assert got == [(1, 1, 2), (1, 1, 4), (1, 3, 4), (4, 9, 10)]
+
+
+def test_first_match_per_key(spark, events):
+    got = sorted(
+        (r["user_id"], r["a_id"], r["b_id"])
+        for r in match_sequence(events, STEPS(), within_seconds=30, mode="first").collect()
+    )
+    assert got == [(1, 1, 2), (4, 9, 10)]
+
+
+def test_window_boundary_inclusive(spark, events):
+    # user 3's B lands exactly at +3600s: inclusive bound
+    got = match_sequence(events, STEPS(), within_seconds=3600).filter(
+        Fn.col("user_id") == 3
+    ).collect()
+    assert [(r["a_id"], r["b_id"]) for r in got] == [(7, 8)]
+
+
+def test_three_step_requires_full_order(spark, events):
+    steps3 = [
+        ("a1", Fn.col("event_type") == "A"),
+        ("b1", Fn.col("event_type") == "B"),
+        ("a2", Fn.col("event_type") == "A"),
+    ]
+    got = sorted(
+        (r["user_id"], r["a1_id"], r["b1_id"], r["a2_id"])
+        for r in match_sequence(events, steps3, within_seconds=60).collect()
+    )
+    assert got == [(1, 1, 2, 3)]  # only user 1 has A-B-A in order
+
+
+def test_rejects_bad_args(spark, events):
+    with pytest.raises(ValueError):
+        match_sequence(events, STEPS()[:1], within_seconds=10)
+    with pytest.raises(ValueError):
+        match_sequence(events, STEPS(), within_seconds=10, mode="last")
+
+
+def test_streaming_matches_batch(spark, events, tmp_path):
+    """The SAME operator compiles to a watermarked append-mode stream-stream
+    join: streaming result == batch result."""
+    import os
+
+    from ksql_spark.streaming.sink import ExactlyOnceParquetSink
+
+    path = str(tmp_path / "ev")
+    events.write.parquet(path)
+    src = (
+        spark.readStream.schema(events.schema).parquet(path).withWatermark("ts", "1 day")
+    )
+    m = match_sequence(src, STEPS(), within_seconds=30).select("user_id", "a_id", "b_id")
+    sink = ExactlyOnceParquetSink(str(tmp_path / "sink"), lineage=False)
+    q = (
+        m.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, sink.read_data(spark).collect()))
+    want = sorted(
+        map(
+            tuple,
+            match_sequence(events, STEPS(), within_seconds=30)
+            .select("user_id", "a_id", "b_id")
+            .collect(),
+        )
+    )
+    assert got == want
