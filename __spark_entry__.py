@@ -1198,6 +1198,52 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixed-token chunk windows with overlap — one codegen'd projection, no
+    # shuffle; DuckDB twin recomputes identical chunk boundaries
+    from ksql_spark.operators.chunking import chunk_documents
+
+    src = _load(spark, sf_dir, "documents")
+    return chunk_documents(src["documents"], chunk_tokens=64, overlap=16)
+
+
+def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-side exactly-once: every event arrives TWICE (at-least-once
+    upstream simulation via explode), dropDuplicatesWithinWatermark keeps
+    one copy per event_id with state bounded by the watermark horizon.
+    Oracle = the events table itself (each row exactly once)."""
+    from ksql_spark import Catalog, STREAM
+    from ksql_spark.operators.dedup import exact_dedup_stream
+    from ksql_spark.streaming.sink import ExactlyOnceParquetSink
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    work = tempfile.mkdtemp(prefix="ksql_driver_ddw_")
+    cat = Catalog(spark, root=os.path.join(work, "catalog"))
+    cat.register_parquet(
+        "events",
+        os.path.join(sf_dir, "events.parquet"),
+        ref=STREAM,
+        event_time_col="ts",
+        event_order_cols=["ts", "event_id"],
+    )
+    src = cat.read_stream("events")
+    if dict(src.dtypes).get("ts") == "timestamp_ntz":
+        src = src.withColumn("ts", Fn.col("ts").cast("timestamp"))
+    doubled = src.withColumn("__c", Fn.explode(Fn.array(Fn.lit(1), Fn.lit(2)))).drop("__c")
+    deduped = exact_dedup_stream(doubled, keys=["event_id"], ts_col="ts", grace="365 days")
+    sink = ExactlyOnceParquetSink(os.path.join(work, "engine", "ddw"), lineage=False)
+    q = (
+        deduped.select("event_id", "user_id", "event_type", Fn.round("value", 4).alias("value"))
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink.read_data(spark)
+
+
 def q_cep_match_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP pattern: view -> click -> purchase per user within 1 day,
     AFTER MATCH SKIP TO FIRST (earliest match per key).  Lowered to two
@@ -1559,6 +1605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_lsh_ann_batch": q_embed_lsh_ann_batch,
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
+        "chunk_documents": q_chunk_documents,
+        "streaming_dedup_ingest": streaming_dedup_ingest,
         "cep_match_sequence": q_cep_match_sequence,
         "streaming_cep_sequence": streaming_cep_sequence,
         "analyzer_rules": q_analyzer_rules,
@@ -1575,6 +1623,7 @@ def oracle_sql() -> dict[str, str]:
         sql_lang_id,
         sql_quality_score,
     )
+    from ksql_spark.operators.chunking import sql_chunk_documents
     from ksql_spark.oracles import (
         sql_dedup_clusters,
         sql_embed_cosine_topk,
@@ -1854,6 +1903,10 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "multimodal_decode": sql_multimodal_decode(n=64, seed=42),
+        "chunk_documents": sql_chunk_documents(chunk_tokens=64, overlap=16),
+        "streaming_dedup_ingest": """
+            SELECT event_id, user_id, event_type, round(value, 4) AS value FROM events
+        """,
         "cep_match_sequence": """
             WITH m AS (
                 SELECT v.user_id, v.event_id AS v_id, c.event_id AS c_id,

@@ -787,3 +787,30 @@ def dedup_clusters(
         )
     )
     return out.withColumn("keep", F.col("cluster_id") == F.col(id_col))
+
+
+# ---------------------------------------------------------------------------
+# streaming ingest dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_stream(
+    df: DataFrame, keys: list[str], ts_col: str = "ts", grace: str = "10 minutes"
+) -> DataFrame:
+    """Exactly-once ingest dedup for a STREAM: drop re-deliveries of the same
+    key within the watermark horizon.
+
+    Lowered to ``dropDuplicatesWithinWatermark`` — Spark's bounded-state
+    dedup operator: state holds one entry per key seen inside the watermark
+    window and is evicted as event time advances, so (unlike a plain
+    ``dropDuplicates`` on a stream) state does NOT grow with the full key
+    history.  This is the ingestion-side twin of the sink's idempotent epoch
+    commit: the sink dedups re-delivered EPOCHS, this dedups re-delivered
+    ROWS (at-least-once upstreams, replayed producers).
+
+    Batch frames fall back to a plain ``dropDuplicates`` (same semantics
+    when every duplicate is in the frame).
+    """
+    if not df.isStreaming:
+        return df.dropDuplicates(keys)
+    return df.withWatermark(ts_col, grace).dropDuplicatesWithinWatermark(keys)
