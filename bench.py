@@ -42,13 +42,19 @@ HEADLINE = [
     "streaming_emit_final",
     "streaming_session_changelog",
     "streaming_stream_stream_join",
+    "streaming_topk_changelog",
+    "streaming_cep_sequence",
     "text_stats",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_clusters",
+    "chunk_documents",
+    "cep_match_sequence",
     "embed_cosine_topk",
     "embed_neardup",
     "embed_lsh_ann",
+    "embed_lsh_ann_batch",
 ]
 
 
