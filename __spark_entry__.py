@@ -899,6 +899,42 @@ def streaming_histogram_changelog(spark: SparkSession, sf_dir: str) -> DataFrame
     return state.select("user_id", Fn.explode("hist").alias("event_type", "cnt"))
 
 
+def streaming_collect_set_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLECT_SET under EMIT CHANGES via the bounded stateful operator —
+    per-group state capped at the ksqlDB collect limit (first-N distinct),
+    exact when groups stay under it (they do here).  Oracle = the batch
+    distinct-set recompute, arrays canonicalized to (pos, value) rows."""
+    from ksql_spark import TABLE, Catalog, CollectSet, Create, F, STREAM, Schema, Select
+    from ksql_spark.streaming.engine import PersistentQueryManager
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    work = tempfile.mkdtemp(prefix="ksql_driver_cset_")
+    cat = Catalog(spark, root=os.path.join(work, "catalog"))
+    cat.register_parquet(
+        "events",
+        os.path.join(sf_dir, "events.parquet"),
+        ref=STREAM,
+        event_time_col="ts",
+        event_order_cols=["ts", "event_id"],
+        partitions=8,
+    )
+    mgr = PersistentQueryManager(
+        spark, cat, workdir=os.path.join(work, "engine"), grace="365 days",
+        enable_metrics=False,
+    )
+    csas = Create(TABLE, "user_types").AsSelect(
+        Select(F("user_id"), CollectSet(F("event_type")).Alias("types"))
+        .From(Schema("events", STREAM))
+        .GroupBy(F("user_id"))
+        .EmitChanges()
+    )
+    mgr.create_as_select(csas, available_now=True, await_termination=True)
+    state = cat.read("QUERYABLE_user_types")
+    return state.select("user_id", Fn.posexplode("types").alias("pos", "event_type")).select(
+        "user_id", Fn.col("pos").cast("bigint").alias("pos"), "event_type"
+    )
+
+
 def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-bounded stream-stream self-join (ksqlDB windowed join,
     SURVEY.md §2.3): same-user event pairs within ±300 s, each emitted
@@ -1590,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stream_table_join": streaming_stream_table_join,
         "streaming_topk_changelog": streaming_topk_changelog,
         "streaming_histogram_changelog": streaming_histogram_changelog,
+        "streaming_collect_set_changelog": streaming_collect_set_changelog,
         "skew_salted_agg": q_skew_salted_agg,
         "skew_salted_join": q_skew_salted_join,
         "text_stats": q_text_stats,
@@ -1647,6 +1684,13 @@ def oracle_sql() -> dict[str, str]:
                event_type, count(event_id) AS cnt
         FROM events, range(2) r(i)
         GROUP BY 1, 2
+    """
+    collect_set_sql = """
+        SELECT user_id,
+               cast(generate_subscripts(types, 1) - 1 AS bigint) AS pos,
+               unnest(types) AS event_type
+        FROM (SELECT user_id, list(DISTINCT event_type ORDER BY event_type) AS types
+              FROM events GROUP BY user_id)
     """
     topk_sql = """
         SELECT user_id,
@@ -1785,13 +1829,8 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS line_numbers
                   FROM lineitem GROUP BY l_orderkey)
         """,
-        "collect_set": """
-            SELECT user_id,
-                   cast(generate_subscripts(types, 1) - 1 AS bigint) AS pos,
-                   unnest(types) AS event_type
-            FROM (SELECT user_id, list(DISTINCT event_type ORDER BY event_type) AS types
-                  FROM events GROUP BY user_id)
-        """,
+        "collect_set": collect_set_sql,
+        "streaming_collect_set_changelog": collect_set_sql,
         "latest_by_offset": """
             SELECT user_id, event_type AS last_type FROM (
                 SELECT user_id, event_type,

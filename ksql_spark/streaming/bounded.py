@@ -191,6 +191,13 @@ def _bounded_func(spec_kind: str, bound: int, buckets: int, n_keys: int, windowe
                 hkeys, hcnts, herrs = merge_spacesaving(hkeys, hcnts, herrs, counts, bound)
 
         if not touched:
+            # invoked but every row dropped (NULL inputs): Spark clears the
+            # old timeout on each invocation, so re-arm it or the window's
+            # state is never evicted
+            if windowed and state.exists:
+                wm_ms = state.getCurrentWatermarkMs()
+                we_ms = int(pd.Timestamp(key[1]).value // 1_000_000)
+                state.setTimeoutTimestamp(max(we_ms, wm_ms + 1))
             yield empty()
             return
 
@@ -200,7 +207,10 @@ def _bounded_func(spec_kind: str, bound: int, buckets: int, n_keys: int, windowe
             state.update((vals,))
         if windowed:
             wm_ms = state.getCurrentWatermarkMs()
-            we_ms = int(key[1].timestamp() * 1000)
+            # group keys arrive as NAIVE datetimes (session runs in UTC);
+            # datetime.timestamp() would re-interpret them in host-local
+            # time — pd.Timestamp.value is the naive-as-UTC epoch
+            we_ms = int(pd.Timestamp(key[1]).value // 1_000_000)
             state.setTimeoutTimestamp(max(we_ms, wm_ms + 1))
 
         if is_hist:

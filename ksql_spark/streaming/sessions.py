@@ -269,6 +269,10 @@ def _session_func(
                     }
                 )
         if not touched:
+            # invoked but no usable rows: re-arm the eviction timeout (Spark
+            # clears it on every invocation) or open sessions leak
+            if sessions:
+                _set_timeout(state, sessions, wm_us)
             yield emit_df(key, [])
             return
 
