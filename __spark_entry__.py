@@ -1363,6 +1363,34 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_migrations_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Migrations §2.11 through the driver gate: create two versioned
+    migrations, AutoMigrate up (both applied), down (last reverted), up
+    again (only the reverted one reapplied — seeker skip semantics), and
+    return the step->versions trace.  Oracle = the expected trace VALUES."""
+    from ksql_spark.migrations import Migrator, create_migration
+
+    work = tempfile.mkdtemp(prefix="ksql_driver_mig_")
+    mdir = os.path.join(work, "migrations")
+    os.makedirs(mdir)
+    p1 = create_migration(mdir, "make_v1", version=1)
+    p2 = create_migration(mdir, "make_v2", version=2)
+    for p, n in ((p1, "mig_v1"), (p2, "mig_v2")):
+        with open(p, "w") as fh:
+            fh.write(
+                f"-- +seeker Up\nCREATE OR REPLACE TEMPORARY VIEW {n} AS SELECT 1 AS x;\n"
+                f"-- +seeker Down\nDROP VIEW {n};\n"
+            )
+    mig = Migrator(spark, mdir, os.path.join(work, "history"))
+    rows = [
+        ("up_initial", ",".join(mig.up())),
+        ("down", mig.down() or ""),
+        ("up_again", ",".join(mig.up())),
+        ("final_applied", ",".join(mig.applied_versions())),
+    ]
+    return spark.createDataFrame(rows, "step string, versions string")
+
+
 def q_analyzer_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's semantic rule sets as data: each row is one
     (rule, raises) probe of the builder analyzers — the 6 select rules
@@ -1647,6 +1675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_match_sequence": q_cep_match_sequence,
         "streaming_cep_sequence": streaming_cep_sequence,
         "analyzer_rules": q_analyzer_rules,
+        "migrations_lifecycle": q_migrations_lifecycle,
         "select_once_pull": q_select_once_pull,
         "select_with_emit": q_select_with_emit,
     }
@@ -1923,6 +1952,11 @@ def oracle_sql() -> dict[str, str]:
         "analyzer_rules": "SELECT * FROM (VALUES "
         + ", ".join(f"('{n}', {str(v).lower()})" for n, v in ANALYZER_RULE_EXPECTATIONS)
         + ") t(rule, raises)",
+        "migrations_lifecycle": """
+            SELECT * FROM (VALUES ('up_initial', '1,2'), ('down', '2'),
+                                  ('up_again', '2'), ('final_applied', '1,2'))
+            t(step, versions)
+        """,
         "select_once_pull": """
             SELECT event_id, user_id, event_type FROM events WHERE value > 90
         """,

@@ -267,3 +267,34 @@ def test_streaming_topk_state_rows_bounded(spark, events_stream):
         .select("user_id", Fn.posexplode("t"))
     )
     assert got == want
+
+
+def test_streaming_topk_kill_resume_exactly_once(spark, events_stream):
+    """Bounded top-k state survives checkpoint recovery: stop mid-stream,
+    resume, final state == batch recompute (no duplicates, no gaps)."""
+    import time
+
+    cat, mgr, batch = events_stream
+    csas = Create(TABLE, "tkr").AsSelect(
+        Select(F("user_id"), TopK(F("value"), 3).Alias("tv"))
+        .From(Schema("ev", STREAM))
+        .GroupBy(F("user_id"))
+        .EmitChanges()
+    )
+    pq = mgr.create_as_select(csas, available_now=True, await_termination=False)
+    deadline = time.time() + 60
+    while not pq.sink.committed_batches() and time.time() < deadline:
+        time.sleep(0.1)
+    pq.streaming_query.stop()  # hard kill mid-stream
+    pq.streaming_query.awaitTermination()
+    pq.streaming_query = None
+    assert pq.sink.committed_batches(), "no epoch committed before kill"
+
+    mgr.resume("tkr", available_now=True, await_termination=True)
+    got = _rows(cat.read("QUERYABLE_tkr").select("user_id", Fn.posexplode("tv")))
+    want = _rows(
+        batch.groupBy("user_id")
+        .agg(Fn.slice(Fn.sort_array(Fn.collect_list("value"), asc=False), 1, 3).alias("t"))
+        .select("user_id", Fn.posexplode("t"))
+    )
+    assert got == want

@@ -209,3 +209,55 @@ def test_topk_twolevel_adaptive(spark, sf):
     finally:
         spark.conf.unset("spark.ksql.topk.twolevelThresholdBytes")
     assert got[0]["tv"] == [976.0, 976.0, 976.0]
+
+
+def test_cep_plan_no_cartesian_and_bounded(spark, sf):
+    """CEP joins must stay key-equi (no cartesian/BNL) with the time bound
+    pushed into the join condition."""
+    from pyspark.sql import functions as F
+
+    from ksql_spark.operators.cep import match_sequence
+
+    ev = spark.range(2000).select(
+        Fn.col("id").alias("event_id"),
+        (Fn.col("id") % 50).alias("user_id"),
+        Fn.element_at(
+            Fn.array(Fn.lit("A"), Fn.lit("B")), (Fn.pmod(Fn.col("id"), 2) + 1).cast("int")
+        ).alias("event_type"),
+        Fn.timestamp_seconds(Fn.col("id") * 10).alias("ts"),
+    )
+    plan = plan_of(
+        match_sequence(
+            ev,
+            [("a", Fn.col("event_type") == "A"), ("b", Fn.col("event_type") == "B")],
+            within_seconds=300,
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_batch_plan_shuffles_are_narrow(spark, sf):
+    """The batched-ANN probe join must not carry embedding payloads: the
+    bucket-join side projects ids and buckets only."""
+    from ksql_spark.operators.similarity import lsh_topk_batch
+
+    emb = spark.range(500).select(
+        Fn.col("id").alias("vec_id"),
+        Fn.array(*[Fn.rand(seed=i) for i in range(8)]).alias("embedding"),
+    )
+    corpus = emb.filter(Fn.col("vec_id") % 10 != 0)
+    queries = emb.filter(Fn.col("vec_id") % 10 == 0)
+    plan = plan_of(lsh_topk_batch(corpus, queries, k=5, n_planes=6, n_dims=8))
+    assert "CartesianProduct" not in plan
+    # rerank is a window top-k, not a global sort+limit
+    assert "Window" in plan
+
+
+def test_chunking_plan_no_exchange(spark, sf):
+    from ksql_spark.operators.chunking import chunk_documents
+
+    docs = spark.range(100).select(
+        Fn.col("id").alias("doc_id"), Fn.lit("alpha beta gamma delta").alias("text")
+    )
+    assert "Exchange" not in plan_of(chunk_documents(docs, chunk_tokens=3, overlap=1))
