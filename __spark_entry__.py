@@ -1234,6 +1234,27 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reproducible dataset cut: membership depends only on the key's
+    # portable hash — same rows on any engine/partitioning (oracle-exact)
+    from ksql_spark.operators.sampling import hash_sample
+
+    src = _load(spark, sf_dir, "orders")
+    return hash_sample(src["orders"], "o_orderkey", rate=0.1).select(
+        "o_orderkey", "o_custkey", Fn.round("o_totalprice", 4).alias("o_totalprice")
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-stratum quota by hash order: deterministic reservoir sampling
+    from ksql_spark.operators.sampling import stratified_sample
+
+    src = _load(spark, sf_dir, "events")
+    return stratified_sample(
+        src["events"], stratum_col="event_type", key_col="event_id", n_per_stratum=50
+    ).select("event_id", "user_id", "event_type")
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed-token chunk windows with overlap — one codegen'd projection, no
     # shuffle; DuckDB twin recomputes identical chunk boundaries
@@ -1670,6 +1691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_lsh_ann_batch": q_embed_lsh_ann_batch,
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
+        "sample_hash": q_sample_hash,
+        "sample_stratified": q_sample_stratified,
         "chunk_documents": q_chunk_documents,
         "streaming_dedup_ingest": streaming_dedup_ingest,
         "cep_match_sequence": q_cep_match_sequence,
@@ -1690,6 +1713,7 @@ def oracle_sql() -> dict[str, str]:
         sql_quality_score,
     )
     from ksql_spark.operators.chunking import sql_chunk_documents
+    from ksql_spark.operators.sampling import sql_hash_sample, sql_stratified_sample
     from ksql_spark.oracles import (
         sql_dedup_clusters,
         sql_embed_cosine_topk,
@@ -1977,6 +2001,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_decode": sql_multimodal_decode(n=64, seed=42),
         "chunk_documents": sql_chunk_documents(chunk_tokens=64, overlap=16),
+        "sample_hash": f"""
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+            FROM ({sql_hash_sample('orders', 'o_orderkey', 0.1)})
+        """,
+        "sample_stratified": f"""
+            SELECT event_id, user_id, event_type
+            FROM ({sql_stratified_sample('events', 'event_type', 'event_id', 50)})
+        """,
         "streaming_dedup_ingest": """
             SELECT event_id, user_id, event_type, round(value, 4) AS value FROM events
         """,
