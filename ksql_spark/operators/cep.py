@@ -51,6 +51,8 @@ def match_sequence(
         raise ValueError("a sequence pattern needs at least 2 steps")
     if mode not in ("all", "first"):
         raise ValueError(f"unknown match mode {mode!r}")
+    if len({n for n, _ in steps}) != len(steps):
+        raise ValueError("step names must be unique (they become output columns)")
 
     def leg(i: int, name: str, pred: Column) -> DataFrame:
         return df.filter(pred).select(
