@@ -1234,6 +1234,39 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UNION (distinct) engine extension (SURVEY §2.7): nations that have a
+    # customer OR a supplier, deduplicated
+    from ksql_spark import F, STREAM, Schema, Select, compile_select
+
+    src = _load(spark, sf_dir, "customer", "supplier")
+    q = (
+        Select(F("c_nationkey").Alias("nationkey"))
+        .From(Schema("customer", STREAM))
+        .Union(
+            Select(F("s_nationkey").Alias("nationkey")).From(Schema("supplier", STREAM))
+        )
+    )
+    return compile_select(q, sources=src)
+
+
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksql_spark import F, STREAM, Schema, Select, compile_select
+
+    src = _load(spark, sf_dir, "orders")
+    q = (
+        Select(F("o_orderkey"), F("o_orderpriority"))
+        .From(Schema("orders", STREAM))
+        .Where(F("o_orderpriority").Equal("1-URGENT"))
+        .UnionAll(
+            Select(F("o_orderkey"), F("o_orderpriority"))
+            .From(Schema("orders", STREAM))
+            .Where(F("o_orderpriority").Equal("2-HIGH"))
+        )
+    )
+    return compile_select(q, sources=src)
+
+
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reproducible dataset cut: membership depends only on the key's
     # portable hash — same rows on any engine/partitioning (oracle-exact)
@@ -1691,6 +1724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_lsh_ann_batch": q_embed_lsh_ann_batch,
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
+        "union": q_union,
+        "union_all": q_union_all,
         "sample_hash": q_sample_hash,
         "sample_stratified": q_sample_stratified,
         "chunk_documents": q_chunk_documents,
@@ -2001,6 +2036,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_decode": sql_multimodal_decode(n=64, seed=42),
         "chunk_documents": sql_chunk_documents(chunk_tokens=64, overlap=16),
+        "union": """
+            SELECT c_nationkey AS nationkey FROM customer
+            UNION
+            SELECT s_nationkey FROM supplier
+        """,
+        "union_all": """
+            SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '2-HIGH'
+        """,
         "sample_hash": f"""
             SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
             FROM ({sql_hash_sample('orders', 'o_orderkey', 0.1)})

@@ -127,6 +127,9 @@ class SelectBuilder:
         self.limit_n: int | None = None
         self.emit: EmitMode = EmitMode.NONE
         self.cte: tuple[str, "SelectBuilder"] | None = None  # single CTE (§2.8)
+        # set operations (engine extension; absent from the reference,
+        # SURVEY.md §2.7): ("union" | "union_all", operand)
+        self.set_ops: list[tuple[str, "SelectBuilder"]] = []
 
     # -- FROM ----------------------------------------------------------------
     def From(self, source: FromExpression | str, ref: Ref = Ref.STREAM) -> "SelectBuilder":
@@ -208,6 +211,17 @@ class SelectBuilder:
         self.emit = EmitMode.FINAL
         return self
 
+    # -- set operations (engine extension, SURVEY.md §2.7) -------------------------
+    def Union(self, other: "SelectBuilder") -> "SelectBuilder":
+        """UNION (distinct).  Batch/pull only — dedup over an unbounded
+        stream needs unbounded state; streaming callers get UNION ALL."""
+        self.set_ops.append(("union", other))
+        return self
+
+    def UnionAll(self, other: "SelectBuilder") -> "SelectBuilder":
+        self.set_ops.append(("union_all", other))
+        return self
+
     # -- CTE (select_builder.go:467-472; one CTE max, like ksqlDB) -----------------
     def With(self, alias: str, sub: "SelectBuilder") -> "SelectBuilder":
         if self.cte is not None:
@@ -269,6 +283,10 @@ class SelectBuilder:
                     f"derived field {type(f).__name__} must be aliased "
                     "(select_builder.go:779-782)"
                 )
+
+        # set-operation operands must themselves be valid
+        for _, other in self.set_ops:
+            other.validate()
 
     def output_names(self) -> list[str]:
         """Projected column names (reference: sb.Returns(), select_builder.go:663-704)."""

@@ -353,6 +353,34 @@ def compile_select(
         out_cols = [f.output() for f in sb.fields]
         df = df.select(*out_cols)
 
+    # -- set operations (engine extension, SURVEY.md §2.7) ---------------------
+    for op, other in sb.set_ops:
+        right = compile_select(
+            other,
+            spark=spark,
+            catalog=catalog,
+            sources=sources,
+            streaming=streaming,
+            grace=grace,
+            event_time=event_time,
+            event_order=event_order,
+        )
+        if set(df.columns) != set(right.columns):
+            raise AnalysisError(
+                f"set operation operands must project the same columns: "
+                f"{sorted(df.columns)} vs {sorted(right.columns)}"
+            )
+        if op == "union":
+            if df.isStreaming or right.isStreaming:
+                # distinct over an unbounded stream needs unbounded state
+                raise AnalysisError(
+                    "UNION (distinct) on a streaming query is not supported; "
+                    "use UNION ALL"
+                )
+            df = df.unionByName(right).dropDuplicates()
+        else:
+            df = df.unionByName(right)
+
     # -- ORDER BY / LIMIT ------------------------------------------------------
     if sb.order_by:
         if streaming:

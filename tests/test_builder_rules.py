@@ -8,6 +8,7 @@ AnalysisError checks; same 6 select rules + 2 create rules + alias rules.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as Fn
 
 from ksql_spark import (
     STREAM,
@@ -174,3 +175,55 @@ def test_negative_window_rejected():
     # reference pins invalid negative window (select_builder_test.go:524)
     with pytest.raises(AnalysisError, match="positive"):
         TumblingWindow(-10, TimeUnit.SECONDS)
+
+
+def test_union_distinct_and_all(spark):
+    from ksql_spark import F, STREAM, Schema, Select, compile_select
+
+    a = spark.createDataFrame([(1,), (2,), (2,)], "x bigint")
+    b = spark.createDataFrame([(2,), (3,)], "x bigint")
+    u = (
+        Select(F("x")).From(Schema("a", STREAM))
+        .Union(Select(F("x")).From(Schema("b", STREAM)))
+    )
+    got = sorted(r["x"] for r in compile_select(u, sources={"a": a, "b": b}).collect())
+    assert got == [1, 2, 3]
+    ua = (
+        Select(F("x")).From(Schema("a", STREAM))
+        .UnionAll(Select(F("x")).From(Schema("b", STREAM)))
+    )
+    got = sorted(r["x"] for r in compile_select(ua, sources={"a": a, "b": b}).collect())
+    assert got == [1, 2, 2, 2, 3]
+
+
+def test_union_schema_mismatch_rejected(spark):
+    from ksql_spark import F, STREAM, Schema, Select, compile_select
+    from ksql_spark.errors import AnalysisError
+
+    a = spark.createDataFrame([(1,)], "x bigint")
+    b = spark.createDataFrame([(2,)], "y bigint")
+    q = (
+        Select(F("x")).From(Schema("a", STREAM))
+        .Union(Select(F("y")).From(Schema("b", STREAM)))
+    )
+    with pytest.raises(AnalysisError, match="same columns"):
+        compile_select(q, sources={"a": a, "b": b})
+
+
+def test_union_distinct_streaming_rejected(spark, tmp_path):
+    from ksql_spark import F, STREAM, Catalog, Schema, Select
+    from ksql_spark.errors import AnalysisError
+    from ksql_spark.operators.compile import compile_select as cs
+
+    df = spark.createDataFrame([(1, "2024-01-01 00:00:00")], "x bigint, ts_s string").select(
+        "x", Fn.col("ts_s").cast("timestamp").alias("ts")
+    )
+    df.write.parquet(str(tmp_path / "t"))
+    cat = Catalog(spark, root=str(tmp_path / "cat"))
+    cat.register_parquet("t", str(tmp_path / "t"), ref=STREAM, event_time_col="ts")
+    q = (
+        Select(F("x")).From(Schema("t", STREAM))
+        .Union(Select(F("x")).From(Schema("t", STREAM)))
+    )
+    with pytest.raises(AnalysisError, match="UNION ALL"):
+        cs(q, spark=spark, catalog=cat, streaming=True)
