@@ -1267,6 +1267,38 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_select(q, sources=src)
 
 
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # nations that have BOTH a customer and a supplier
+    from ksql_spark import F, STREAM, Schema, Select, compile_select
+
+    src = _load(spark, sf_dir, "customer", "supplier")
+    q = (
+        Select(F("c_nationkey").Alias("nationkey"))
+        .From(Schema("customer", STREAM))
+        .Intersect(
+            Select(F("s_nationkey").Alias("nationkey")).From(Schema("supplier", STREAM))
+        )
+    )
+    return compile_select(q, sources=src)
+
+
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ordering customers outside the BUILDING segment
+    from ksql_spark import F, STREAM, Schema, Select, compile_select
+
+    src = _load(spark, sf_dir, "orders", "customer")
+    q = (
+        Select(F("o_custkey").Alias("custkey"))
+        .From(Schema("orders", STREAM))
+        .Except(
+            Select(F("c_custkey").Alias("custkey"))
+            .From(Schema("customer", STREAM))
+            .Where(F("c_mktsegment").Equal("BUILDING"))
+        )
+    )
+    return compile_select(q, sources=src)
+
+
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reproducible dataset cut: membership depends only on the key's
     # portable hash — same rows on any engine/partitioning (oracle-exact)
@@ -1726,6 +1758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "union": q_union,
         "union_all": q_union_all,
+        "intersect": q_intersect,
+        "except": q_except,
         "sample_hash": q_sample_hash,
         "sample_stratified": q_sample_stratified,
         "chunk_documents": q_chunk_documents,
@@ -2045,6 +2079,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
             UNION ALL
             SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '2-HIGH'
+        """,
+        "intersect": """
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey FROM supplier
+        """,
+        "except": """
+            SELECT o_custkey AS custkey FROM orders
+            EXCEPT
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         """,
         "sample_hash": f"""
             SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice

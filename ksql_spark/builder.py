@@ -222,6 +222,16 @@ class SelectBuilder:
         self.set_ops.append(("union_all", other))
         return self
 
+    def Intersect(self, other: "SelectBuilder") -> "SelectBuilder":
+        """INTERSECT (distinct).  Batch/pull only, like Union."""
+        self.set_ops.append(("intersect", other))
+        return self
+
+    def Except(self, other: "SelectBuilder") -> "SelectBuilder":
+        """EXCEPT (distinct).  Batch/pull only, like Union."""
+        self.set_ops.append(("except", other))
+        return self
+
     # -- CTE (select_builder.go:467-472; one CTE max, like ksqlDB) -----------------
     def With(self, alias: str, sub: "SelectBuilder") -> "SelectBuilder":
         if self.cte is not None:

@@ -370,14 +370,18 @@ def compile_select(
                 f"set operation operands must project the same columns: "
                 f"{sorted(df.columns)} vs {sorted(right.columns)}"
             )
+        if op != "union_all" and (df.isStreaming or right.isStreaming):
+            # distinct set ops over an unbounded stream need unbounded state
+            raise AnalysisError(
+                f"{op.upper()} on a streaming query is not supported; "
+                "only UNION ALL composes streams"
+            )
         if op == "union":
-            if df.isStreaming or right.isStreaming:
-                # distinct over an unbounded stream needs unbounded state
-                raise AnalysisError(
-                    "UNION (distinct) on a streaming query is not supported; "
-                    "use UNION ALL"
-                )
             df = df.unionByName(right).dropDuplicates()
+        elif op == "intersect":
+            df = df.intersect(right.select(*df.columns))
+        elif op == "except":
+            df = df.subtract(right.select(*df.columns))  # SQL EXCEPT (distinct)
         else:
             df = df.unionByName(right)
 

@@ -227,3 +227,20 @@ def test_union_distinct_streaming_rejected(spark, tmp_path):
     )
     with pytest.raises(AnalysisError, match="UNION ALL"):
         cs(q, spark=spark, catalog=cat, streaming=True)
+
+
+def test_intersect_and_except(spark):
+    from ksql_spark import F, STREAM, Schema, Select, compile_select
+
+    a = spark.createDataFrame([(1,), (2,), (2,), (3,)], "x bigint")
+    b = spark.createDataFrame([(2,), (3,), (4,)], "x bigint")
+    i = (
+        Select(F("x")).From(Schema("a", STREAM))
+        .Intersect(Select(F("x")).From(Schema("b", STREAM)))
+    )
+    assert sorted(r["x"] for r in compile_select(i, sources={"a": a, "b": b}).collect()) == [2, 3]
+    e = (
+        Select(F("x")).From(Schema("a", STREAM))
+        .Except(Select(F("x")).From(Schema("b", STREAM)))
+    )
+    assert [r["x"] for r in compile_select(e, sources={"a": a, "b": b}).collect()] == [1]
