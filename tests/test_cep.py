@@ -113,3 +113,57 @@ def test_streaming_matches_batch(spark, events, tmp_path):
         )
     )
     assert got == want
+
+
+def test_streaming_cep_kill_resume_exactly_once(spark, events, tmp_path):
+    """Stop the streaming pattern query mid-stream, resume from checkpoint:
+    every match emitted exactly once (append-mode join state recovered)."""
+    import time
+
+    from ksql_spark.streaming.sink import ExactlyOnceParquetSink
+
+    path = str(tmp_path / "ev")
+    # several files so the kill can land between micro-batches
+    for i in range(4):
+        events.coalesce(1).write.mode("append").parquet(path)
+
+    def start(sink):
+        src = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+            .withWatermark("ts", "1 day")
+        )
+        m = match_sequence(src, STEPS(), within_seconds=30).select(
+            "user_id", "a_id", "b_id"
+        )
+        return (
+            m.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    sink = ExactlyOnceParquetSink(str(tmp_path / "sink"), lineage=False)
+    q = start(sink)
+    deadline = time.time() + 60
+    while not sink.committed_batches() and time.time() < deadline:
+        time.sleep(0.1)
+    q.stop()  # hard kill mid-stream
+    q.awaitTermination()
+    assert sink.committed_batches(), "no epoch committed before kill"
+
+    q2 = start(sink)
+    q2.awaitTermination()
+    got = sorted(map(tuple, sink.read_data(spark).collect()))
+    batch4 = spark.read.parquet(path)
+    want = sorted(
+        map(
+            tuple,
+            match_sequence(batch4, STEPS(), within_seconds=30)
+            .select("user_id", "a_id", "b_id")
+            .collect(),
+        )
+    )
+    assert got == want  # exactly-once across the restart
