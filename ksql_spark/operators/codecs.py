@@ -36,12 +36,16 @@ import zlib
 # ---------------------------------------------------------------------------
 
 
-def det_bytes(media_id: int, n: int) -> bytes:
-    """n pseudo-random bytes: block b supplies md5(f"{media_id}:{b}")."""
+def det_bytes(key, n: int) -> bytes:
+    """n pseudo-random bytes: block b supplies md5(f"{key}:{b}").
+
+    ``key`` may be any stringable value (a media id, or a "seed:id" prefix)
+    — this is THE generative byte formula the DuckDB parity oracle mirrors
+    (oracles.sql_multimodal_decode); keep it the single source of truth."""
     out = bytearray()
     b = 0
     while len(out) < n:
-        out.extend(hashlib.md5(f"{media_id}:{b}".encode()).digest())
+        out.extend(hashlib.md5(f"{key}:{b}".encode()).digest())
         b += 1
     return bytes(out[:n])
 

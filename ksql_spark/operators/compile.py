@@ -340,13 +340,33 @@ def compile_select(
         # O(sketch capacity) — the 100x-horizon fix for hot keys
         from ..streaming.bounded import bounded_agg_changelog
 
+        # after a join both sides may carry the event-time column name;
+        # qualify with the left relation alias (same as the session branch)
+        b_ts = (
+            f"{sb.from_expr.effective_name()}.{ts_col}"
+            if sb.joins and ts_col is not None
+            else ts_col
+        )
         df = bounded_agg_changelog(
             df,
-            ts_col,
+            b_ts,
             [(g.output_name(), g.output()) for g in sb.group_by],
             sb.window,
             agg_fields[0],
         )
+        # re-project to the declared field order + aliases so the bounded
+        # path's output shape matches the native lowering exactly
+        proj: list[Column] = []
+        if sb.window is not None:
+            proj += [F.col("window_start"), F.col("window_end")]
+        for f in sb.fields:
+            if f.is_aggregate():
+                proj.append(F.col(f.output_name()))
+            elif isinstance(f, Field):
+                proj.append(F.col(f.name.split(".")[-1]).alias(f.output_name()))
+            else:
+                proj.append(F.col(f.output_name()))
+        df = df.select(*proj)
     elif agg_fields or sb.group_by:
         df = _lower_aggregate(sb, df, ts_col, order_cols)
     else:
@@ -375,6 +395,12 @@ def compile_select(
             raise AnalysisError(
                 f"{op.upper()} on a streaming query is not supported; "
                 "only UNION ALL composes streams"
+            )
+        if df.isStreaming != right.isStreaming:
+            # Spark rejects stream/batch unions at start time with a raw
+            # error; fail at compile time with the engine's typed one
+            raise AnalysisError(
+                "set operation operands must both be streams or both tables"
             )
         if op == "union":
             df = df.unionByName(right).dropDuplicates()

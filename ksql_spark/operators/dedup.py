@@ -749,6 +749,12 @@ def connected_components(
             if sc.getCheckpointDir()
             else e.localCheckpoint(eager=True)
         )
+        # the previous round's checkpointed blocks are reclaimed by Spark's
+        # ContextCleaner once unreferenced; collect now so the py4j handle
+        # drops immediately instead of piling one edge-set copy per round
+        import gc
+
+        gc.collect()
         row = e.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.sum(F.hash(F.col("u"), F.col("v"))), F.lit(0)).alias("h"),

@@ -1,11 +1,11 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
 The Spark-side architecture is real and tested — schema contract, Arrow
-batch shape, ``mapInPandas`` iterator protocol, partition sizing — while the
-actual codec step is stubbed (no image/audio libraries in this container):
-``decode_stub=True`` produces a deterministic fake feature vector from the
-bytes; ``decode_stub=False`` raises ``NotImplementedError`` at the exact
-point a real decoder (PIL / torchaudio / pyav) would be invoked.
+batch shape, ``mapInPandas`` iterator protocol, partition sizing — and so
+is the codec step: ``decode_stub=False`` runs the pure-stdlib PNG / WAV /
+RVID codecs (operators/codecs.py) on genuinely encoded payloads
+(``synthesize_media_real``); ``decode_stub=True`` keeps the original
+md5-derived stand-in features for the plumbing-only fixture.
 
 Design rules encoded here:
   * media bytes travel as one ``binary`` column next to typed metadata
@@ -98,18 +98,14 @@ def synthesize_media_real(spark: SparkSession, n: int = 64, seed: int = 42) -> D
     (codecs.det-style: block b of media i = md5(f"{seed}:{i}:{b}")), so an
     independent engine can recompute the decoded statistics without the
     codec."""
-    from .codecs import png_encode, rvid_encode, wav_encode
+    from .codecs import det_bytes, png_encode, rvid_encode, wav_encode
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct as _struct
 
         def content(i: int, n_bytes: int) -> bytes:
-            out = bytearray()
-            b = 0
-            while len(out) < n_bytes:
-                out.extend(hashlib.md5(f"{seed}:{i}:{b}".encode()).digest())
-                b += 1
-            return bytes(out[:n_bytes])
+            # single source of truth for the generative formula (codecs)
+            return det_bytes(f"{seed}:{i}", n_bytes)
 
         for pdf in batches:
             rows = []
@@ -239,12 +235,16 @@ def resize_images(df: DataFrame, max_side: int = 512, decode_stub: bool = True) 
 
     def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
-            for p, kind, tw, th in zip(
-                pdf["payload"], pdf["kind"], pdf["target_width"], pdf["target_height"]
+            payloads, widths, heights = [], [], []
+            for p, kind, w0, h0, tw, th in zip(
+                pdf["payload"], pdf["kind"], pdf["width"], pdf["height"],
+                pdf["target_width"], pdf["target_height"],
             ):
                 if kind != "image":
+                    # non-image rows pass through untouched — payload AND dims
                     payloads.append(p)
+                    widths.append(w0)
+                    heights.append(h0)
                     continue
                 pixels, w, h = png_decode(p)
                 tw, th = int(tw), int(th)
@@ -256,10 +256,12 @@ def resize_images(df: DataFrame, max_side: int = 512, decode_stub: bool = True) 
                         o = (sy * w + sx) * 3
                         resized.extend(pixels[o : o + 3])
                 payloads.append(png_encode(bytes(resized), tw, th))
+                widths.append(tw)
+                heights.append(th)
             pdf = pdf.copy()
             pdf["payload"] = payloads
-            pdf["width"] = pdf["target_width"]
-            pdf["height"] = pdf["target_height"]
+            pdf["width"] = widths
+            pdf["height"] = heights
             yield pdf.drop(columns=["target_width", "target_height"])
 
     return out.mapInPandas(resample, schema=MEDIA_SCHEMA)

@@ -38,13 +38,14 @@ def hash_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
     if not 0.0 <= rate <= 1.0:
         raise ValueError("rate must be in [0, 1]")
     bucket = F.pmod(portable_hash60(F.col(key_col).cast("string")), F.lit(DENOM))
-    return df.filter(bucket < int(rate * DENOM))
+    # round, don't truncate: 0.29 * 1e6 is 289999.99999999997 in float64
+    return df.filter(bucket < round(rate * DENOM))
 
 
 def sql_hash_sample(table: str, key_col: str, rate: float) -> str:
     """DuckDB twin of hash_sample (same md5-derived 60-bit hash)."""
     h = f"(('0x' || substr(md5({key_col}::varchar), 1, 15))::bigint % {DENOM})"
-    return f"SELECT * FROM {table} WHERE {h} < {int(rate * DENOM)}"
+    return f"SELECT * FROM {table} WHERE {h} < {round(rate * DENOM)}"
 
 
 def stratified_sample(

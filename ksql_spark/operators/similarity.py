@@ -187,7 +187,13 @@ def lsh_topk_batch(
     if n_dims is None:
         # prefer passing n_dims explicitly: this probe is a tiny driver-side
         # job and serializes plan construction in multi-operator pipelines
-        n_dims = len(queries.select(vec_col).first()[0])
+        row = queries.select(vec_col).first()
+        if row is None:
+            raise ValueError(
+                "queries DataFrame is empty and n_dims was not given; "
+                "pass n_dims explicitly"
+            )
+        n_dims = len(row[0])
     planes = hyperplanes(n_planes, n_dims)
 
     c = corpus.select(
@@ -238,6 +244,11 @@ def add_lsh_buckets(
     """Persist-ready bucketed corpus: write partitioned by ``lsh_bucket`` so
     queries prune to probed buckets at the file-scan level."""
     if n_dims is None:
-        n_dims = len(df.select(vec_col).first()[0])
+        row = df.select(vec_col).first()
+        if row is None:
+            raise ValueError(
+                "DataFrame is empty and n_dims was not given; pass n_dims explicitly"
+            )
+        n_dims = len(row[0])
     planes = hyperplanes(n_planes, n_dims)
     return df.withColumn("lsh_bucket", hyperplane_bucket(F.col(vec_col), planes))

@@ -279,8 +279,17 @@ def bounded_agg_changelog(
     else:
         drop_dummy = False
     cols += [c.alias(f"__k{i}") for i, (_, c) in enumerate(keys)]
-    cols.append(agg.arg.to_column().alias("__a0"))
-    proj = df.select(*cols)
+    # HISTOGRAM keys must match the batch lowering bit-for-bit: Spark's
+    # cast-to-string (booleans 'true'/'false', Spark float formatting), not
+    # Python str() — so cast JVM-side before the Arrow boundary
+    agg_in = agg.arg.to_column()
+    if isinstance(agg, Histogram):
+        agg_in = agg_in.cast("string")
+    cols.append(agg_in.alias("__a0"))
+    # aggregates skip NULL inputs; filtering them JVM-side also keeps the
+    # Arrow->pandas transfer on exact dtypes (a nullable int64 batch would
+    # otherwise arrive as float64 and corrupt ids above 2^53)
+    proj = df.select(*cols).filter(F.col("__a0").isNotNull())
     if windowed:
         proj = proj.select(
             F.col("__ts"),
