@@ -298,3 +298,23 @@ def test_streaming_topk_kill_resume_exactly_once(spark, events_stream):
         .select("user_id", Fn.posexplode("t"))
     )
     assert got == want
+
+
+def test_bounded_output_shape_matches_native_lowering(spark, events_stream):
+    """Column names AND order of the bounded streaming path must equal the
+    batch lowering of the same query (declared field order, SELECT aliases
+    honored)."""
+    from ksql_spark import compile_select
+
+    cat, mgr, batch = events_stream
+    q = (
+        Select(TopK(F("value"), 3).Alias("tv"), F("user_id").Alias("uid"))
+        .From(Schema("ev", STREAM))
+        .GroupBy(F("user_id"))
+        .EmitChanges()
+    )
+    batch_cols = compile_select(q, sources={"ev": batch}).columns
+    stream_df = compile_select(
+        q, spark=spark, catalog=cat, streaming=True, grace="365 days"
+    )
+    assert stream_df.columns == batch_cols == ["tv", "uid"]
