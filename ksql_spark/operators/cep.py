@@ -40,18 +40,31 @@ def match_sequence(
     ts_col: str = "ts",
     id_col: str = "event_id",
     mode: str = "all",
+    absent: list[tuple[str, Column]] | None = None,
 ) -> DataFrame:
     """Detect ordered event sequences per key.
 
     ``steps`` are (name, predicate) pairs; the output carries, per match,
     the key plus ``<name>_id`` / ``<name>_ts`` for every step.  Works on a
     batch DataFrame or a watermarked stream (same plan).
+
+    ``absent`` adds NEGATION legs (Flink MATCH_RECOGNIZE's NOT pattern):
+    each (name, predicate) pair requires that NO matching event for the same
+    key falls strictly between the first and last step of the match (strict
+    (ts, id) event order, same offset contract as the step chain).  Lowered
+    to a time-bounded LEFT OUTER join + IS NULL filter — the outer-join
+    spelling of anti-join that Structured Streaming supports for
+    stream-stream joins (plain left_anti is batch-only), so THE SAME PLAN
+    still runs batch and streaming; the absent side's state is evicted by
+    the same symmetric vs-step-0 watermark bound as the step joins.
     """
     if len(steps) < 2:
         raise ValueError("a sequence pattern needs at least 2 steps")
     if mode not in ("all", "first"):
         raise ValueError(f"unknown match mode {mode!r}")
-    if len({n for n, _ in steps}) != len(steps):
+    absent = list(absent or [])
+    all_names = [n for n, _ in steps] + [n for n, _ in absent]
+    if len(set(all_names)) != len(all_names):
         raise ValueError("step names must be unique (they become output columns)")
 
     def leg(i: int, name: str, pred: Column) -> DataFrame:
@@ -82,6 +95,53 @@ def match_sequence(
             (F.col("__k0") == F.col(f"__k{i}")) & order & bound & lower,
             "inner",
         ).drop(f"__k{i}")
+
+    # negation legs: NO matching event strictly between the first and last
+    # step (strict (ts, id) order on both ends).  LEFT OUTER + IS NULL is the
+    # anti-join spelling Structured Streaming accepts for stream-stream
+    # joins; the time bound vs the first step keeps the absent side's join
+    # state watermark-evictable (absent events land inside [first_ts,
+    # first_ts + within], the same symmetric window as the step chain).
+    first, last = names[0], names[-1]
+    if absent and out.isStreaming:
+        # the inner chain leaves every step's ts watermark-tagged; an OUTER
+        # join requires exactly one event-time column on its left side (it
+        # times null-emission off it).  Re-materialize all but step 0's ts
+        # through a computed expression, which drops the event-time metadata
+        # while keeping the value — step 0 stays the match's event time.
+        for n in names[1:]:
+            out = out.withColumn(f"{n}_ts", F.col(f"{n}_ts") + F.expr("INTERVAL 0 SECONDS"))
+    for i, (name, pred) in enumerate(absent):
+        a = df.filter(pred).select(
+            F.col(key_col).alias(f"__ak{i}"),
+            F.col(ts_col).alias(f"{name}_ts"),
+            F.col(id_col).alias(f"{name}_id"),
+        )
+        after_first = (F.col(f"{name}_ts") > F.col(f"{first}_ts")) | (
+            (F.col(f"{name}_ts") == F.col(f"{first}_ts"))
+            & (F.col(f"{name}_id") > F.col(f"{first}_id"))
+        )
+        before_last = (F.col(f"{name}_ts") < F.col(f"{last}_ts")) | (
+            (F.col(f"{name}_ts") == F.col(f"{last}_ts"))
+            & (F.col(f"{name}_id") < F.col(f"{last}_id"))
+        )
+        bound = F.col(f"{name}_ts") <= F.col(f"{first}_ts") + F.expr(
+            f"INTERVAL {within_seconds} SECONDS"
+        )
+        lower = F.col(f"{name}_ts") >= F.col(f"{first}_ts")
+        out = (
+            out.join(
+                a,
+                (F.col("__k0") == F.col(f"__ak{i}"))
+                & after_first
+                & before_last
+                & bound
+                & lower,
+                "left_outer",
+            )
+            .filter(F.col(f"{name}_id").isNull())
+            .drop(f"__ak{i}", f"{name}_ts", f"{name}_id")
+        )
 
     cols = [F.col("__k0").alias(key_col)]
     for n in names:

@@ -118,13 +118,18 @@ def lsh_topk(
     vec_col: str = "embedding",
     n_planes: int = 8,
     multiprobe: bool = True,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe the query's LSH bucket (and, with
     ``multiprobe``, every 1-bit-flip neighbor bucket), exact-rerank inside.
 
     Recall rises with probes; cost stays ~ (probed buckets / 2^n_planes) of
-    the corpus.  At cluster scale the corpus is pre-bucketed once
-    (``add_lsh_buckets``) and the probe is a partition-pruned read.
+    the corpus.  ``bucket_col`` is the SERVING path: pass the name of a
+    pre-computed bucket column (``add_lsh_buckets``, corpus written
+    ``partitionBy('lsh_bucket')``) and the probe set becomes a literal IN
+    filter on that column — file-scan partition pruning reads only the
+    probed buckets' files instead of re-projecting every vector per query
+    (the planes must be the same ``n_planes`` x len(query) family).
     """
     n_dims = len(query_vec)
     planes = hyperplanes(n_planes, n_dims)
@@ -139,11 +144,16 @@ def lsh_topk(
     if multiprobe:
         probes += [qbits ^ (1 << p) for p in range(n_planes)]
 
-    bucketed = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
-    ).filter(F.col("__bucket").isin(probes))
+    if bucket_col is not None:
+        bucketed = df.select(
+            F.col(id_col), F.col(vec_col), F.col(bucket_col).alias("__bucket")
+        ).filter(F.col("__bucket").isin(probes))
+    else:
+        bucketed = df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
+        ).filter(F.col("__bucket").isin(probes))
 
     return (
         bucketed.select(
@@ -165,6 +175,7 @@ def lsh_topk_batch(
     n_planes: int = 8,
     n_dims: int | None = None,
     multiprobe: bool = True,
+    corpus_bucket_col: str | None = None,
 ) -> DataFrame:
     """Batched ANN: approximate top-k for a query *table* (millions of
     queries), not one driver-side vector.
@@ -196,9 +207,15 @@ def lsh_topk_batch(
         n_dims = len(row[0])
     planes = hyperplanes(n_planes, n_dims)
 
-    c = corpus.select(
-        F.col(id_col), hyperplane_bucket(F.col(vec_col), planes).alias("__bucket")
-    )
+    if corpus_bucket_col is not None:
+        # serving path: the corpus was bucketed once by add_lsh_buckets and
+        # (when written partitionBy(bucket)) the bucket join's scan carries
+        # the pre-computed column instead of re-projecting every vector
+        c = corpus.select(F.col(id_col), F.col(corpus_bucket_col).alias("__bucket"))
+    else:
+        c = corpus.select(
+            F.col(id_col), hyperplane_bucket(F.col(vec_col), planes).alias("__bucket")
+        )
     qb = queries.select(
         F.col(query_id_col).alias("__qid"),
         hyperplane_bucket(F.col(vec_col), planes).alias("__qb"),

@@ -59,6 +59,24 @@ def sql_minhash_pairs(shingle_n: int = 3, threshold: float = 0.7) -> str:
     return sql_ngram_jaccard_pairs(shingle_n=shingle_n, threshold=threshold)
 
 
+def sql_minhash_pairs_incremental(
+    shingle_n: int = 3, threshold: float = 0.7, delta_mod: int = 10
+) -> str:
+    """Oracle for dedup.minhash_lsh_pairs_incremental with the delta defined
+    as doc_id % delta_mod == 0: brute-force exact-Jaccard pairs restricted to
+    pairs touching >=1 delta doc — the exact subset the incremental path must
+    reproduce (same semantic-oracle argument as sql_minhash_pairs)."""
+    sh = _sql_shingles("text", shingle_n)
+    return f"""
+        WITH d AS (SELECT doc_id, {sh} AS sh FROM documents)
+        SELECT l.doc_id AS id_l, r.doc_id AS id_r,
+               round({_sql_jaccard('l.sh', 'r.sh')}, 6) AS jaccard_sim
+        FROM d l JOIN d r ON l.doc_id < r.doc_id
+        WHERE {_sql_jaccard('l.sh', 'r.sh')} >= {threshold}
+          AND (l.doc_id % {delta_mod} = 0 OR r.doc_id % {delta_mod} = 0)
+    """
+
+
 def sql_simhash_pairs(bits: int = 32, max_hamming: int = 3) -> str:
     words = f"list_filter(string_split({SQL_NORMALIZE.format(c='text')}, ' '), w -> w != '')"
     hashes = f"list_transform({words}, s -> ('0x' || substr(md5(s), 1, 15))::bigint)"

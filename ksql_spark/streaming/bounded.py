@@ -59,27 +59,60 @@ DEFAULT_COLLECT_LIMIT = 1000  # ksqlDB: ksql.functions.collect_list.limit
 # ---------------------------------------------------------------------------
 
 
+def _is_nan(v) -> bool:
+    return isinstance(v, float) and v != v
+
+
+def _sort_key(v):
+    """Order key matching Spark's double ordering: NaN sorts greatest.
+
+    Plain ``sorted`` is undefined with NaN (every comparison is False); the
+    (is_nan, value) tuple makes all NaNs compare equal to each other and
+    greater than every number — bit-matching the batch ``sort_array`` path.
+    """
+    return (_is_nan(v), v)
+
+
 def merge_topk(cur: list, new_vals, k: int, distinct: bool) -> list:
-    """Merge batch values into a top-k state list (sorted desc, len <= k)."""
+    """Merge batch values into a top-k state list (sorted desc, len <= k).
+
+    NaN handling matches the batch lowering: NaN is the greatest double and
+    (for the distinct variant) all NaNs are one value — Spark's set
+    semantics, not Python's object-identity NaN sets.
+    """
     if distinct:
-        vals = set(cur)
-        vals.update(new_vals)
-        return sorted(vals, reverse=True)[:k]
+        vals = set()
+        has_nan = False
+        for v in list(cur) + list(new_vals):
+            if _is_nan(v):
+                has_nan = True
+            else:
+                vals.add(v)
+        merged = list(vals) + ([float("nan")] if has_nan else [])
+        return sorted(merged, key=_sort_key, reverse=True)[:k]
     merged = list(cur)
     merged.extend(new_vals)
-    merged.sort(reverse=True)
+    merged.sort(key=_sort_key, reverse=True)
     return merged[:k]
 
 
 def merge_collect(cur: list, new_vals, limit: int, is_set: bool) -> list:
-    """First-``limit`` collect (ksqlDB cap semantics; len <= limit)."""
+    """First-``limit`` collect (ksqlDB cap semantics; len <= limit).
+
+    For the set variant NaN counts as a single value (Spark set semantics).
+    """
     out = list(cur)
     if is_set:
-        seen = set(out)
+        seen = {v for v in out if not _is_nan(v)}
+        has_nan = any(_is_nan(v) for v in out)
         for v in new_vals:
             if len(out) >= limit:
                 break
-            if v not in seen:
+            if _is_nan(v):
+                if not has_nan:
+                    out.append(v)
+                    has_nan = True
+            elif v not in seen:
                 out.append(v)
                 seen.add(v)
     else:
@@ -172,7 +205,11 @@ def _bounded_func(spec_kind: str, bound: int, buckets: int, n_keys: int, windowe
 
         touched = False
         for pdf in pdf_iter:
-            col = pdf["__a0"].dropna()
+            # NULLs are filtered JVM-side before the operator, so any float
+            # NaN here is a genuine NaN value — keep it (dropna would drop
+            # it, silently diverging from the batch lowering, which orders
+            # NaN greatest)
+            col = pdf["__a0"]
             if col.empty:
                 continue
             touched = True
@@ -216,7 +253,11 @@ def _bounded_func(spec_kind: str, bound: int, buckets: int, n_keys: int, windowe
         if is_hist:
             yield emit(key, hist_top_buckets(hkeys, hcnts, buckets))
         else:
-            out = sorted(vals) if spec_kind in ("collect_list", "collect_set") else vals
+            out = (
+                sorted(vals, key=_sort_key)
+                if spec_kind in ("collect_list", "collect_set")
+                else vals
+            )
             yield emit(key, out)
 
     return func

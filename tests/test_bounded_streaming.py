@@ -318,3 +318,117 @@ def test_bounded_output_shape_matches_native_lowering(spark, events_stream):
         q, spark=spark, catalog=cat, streaming=True, grace="365 days"
     )
     assert stream_df.columns == batch_cols == ["tv", "uid"]
+
+
+def test_streaming_topk_nan_matches_batch(spark, tmp_path):
+    """Float NaN values flow through the bounded operator exactly like the
+    batch lowering (NaN is the greatest double; ADVICE r3: dropna silently
+    excluded NaN on the streaming side only)."""
+    workdir = str(tmp_path / "nan")
+    rows = [
+        (0, 1, float("nan"), "2026-01-01 00:00:01"),
+        (1, 1, 50.0, "2026-01-01 00:00:02"),
+        (2, 1, 99.0, "2026-01-01 00:00:03"),
+        (3, 1, 10.0, "2026-01-01 00:00:04"),
+        (4, 2, 1.0, "2026-01-01 00:00:05"),
+        (5, 2, float("nan"), "2026-01-01 00:00:06"),
+        (6, 2, float("nan"), "2026-01-01 00:00:07"),
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, "event_id bigint, user_id bigint, value double, ts_s string"
+        )
+        .withColumn("ts", Fn.col("ts_s").cast("timestamp"))
+        .drop("ts_s")
+    )
+    df.write.parquet(str(tmp_path / "nanev"))
+    cat = Catalog(spark, root=f"{workdir}/catalog")
+    cat.register_parquet(
+        "nanev",
+        str(tmp_path / "nanev"),
+        ref=STREAM,
+        event_time_col="ts",
+        event_order_cols=["ts", "event_id"],
+    )
+    mgr = PersistentQueryManager(
+        spark, cat, workdir=f"{workdir}/eng", grace="365 days", enable_metrics=False
+    )
+    csas = Create(TABLE, "tknan").AsSelect(
+        Select(F("user_id"), TopK(F("value"), 2).Alias("tv"))
+        .From(Schema("nanev", STREAM))
+        .GroupBy(F("user_id"))
+        .EmitChanges()
+    )
+    mgr.create_as_select(csas, available_now=True)
+
+    def canon(df_):
+        # replace NaN BEFORE sorting: tuples containing NaN are not totally
+        # ordered, so sorting raw rows is input-order-dependent
+        return sorted(
+            (u, p, "nan" if v != v else v) for (u, p, v) in map(tuple, df_.collect())
+        )
+
+    got = canon(cat.read("QUERYABLE_tknan").select("user_id", Fn.posexplode("tv")))
+    want = canon(
+        df.groupBy("user_id")
+        .agg(Fn.slice(Fn.sort_array(Fn.collect_list("value"), asc=False), 1, 2).alias("t"))
+        .select("user_id", Fn.posexplode("t"))
+    )
+    assert got == want
+    # NaN tops user 1's list (greatest double), matching Spark's sort order
+    assert (1, 0, "nan") in got
+
+
+def test_having_stays_on_bounded_path_and_matches_batch(spark, events_stream):
+    """HAVING over the selected aggregate no longer kicks the query back to
+    the unbounded native fold (VERDICT r3 #2): the stateful operator is in
+    the plan, and the changelog materializes to the batch recompute filtered
+    by the same (monotone) predicate."""
+    from ksql_spark import compile_select
+    from ksql_spark.expr import Conditional
+
+    cat, mgr, batch = events_stream
+    agg = TopK(F("value"), 3).Alias("tv")
+    q = (
+        Select(F("user_id"), agg)
+        .From(Schema("ev", STREAM))
+        .GroupBy(F("user_id"))
+        .Having(Conditional(agg, ">=", [99.0]))
+        .EmitChanges()
+    )
+    stream_df = compile_select(q, spark=spark, catalog=cat, streaming=True, grace="365 days")
+    plan = stream_df._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandasWithState" in plan  # bounded op, not the fold
+
+    csas = Create(TABLE, "tkhav").AsSelect(q)
+    mgr.create_as_select(csas, available_now=True)
+    got = _rows(cat.read("QUERYABLE_tkhav").select("user_id", Fn.posexplode("tv")))
+    want_df = (
+        batch.groupBy("user_id")
+        .agg(Fn.slice(Fn.sort_array(Fn.collect_list("value"), asc=False), 1, 3).alias("t"))
+        .filter(Fn.col("t") >= Fn.lit([99.0]))
+        .select("user_id", Fn.posexplode("t"))
+    )
+    want = _rows(want_df)
+    assert want, "HAVING fixture is vacuous"
+    assert got == want
+
+
+def test_having_with_foreign_aggregate_uses_native_fold(spark, events_stream):
+    """A HAVING over a DIFFERENT aggregate still needs the hidden-agg rewrite
+    (one groupBy.agg) — the gate must fall back to the native fold, not
+    silently drop the condition."""
+    from ksql_spark import Count, compile_select
+    from ksql_spark.expr import Conditional
+
+    cat, mgr, batch = events_stream
+    q = (
+        Select(F("user_id"), TopK(F("value"), 3).Alias("tv"))
+        .From(Schema("ev", STREAM))
+        .GroupBy(F("user_id"))
+        .Having(Conditional(Count(F("event_id")), ">", 10))
+        .EmitChanges()
+    )
+    stream_df = compile_select(q, spark=spark, catalog=cat, streaming=True, grace="365 days")
+    plan = stream_df._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandasWithState" not in plan

@@ -115,6 +115,194 @@ def test_streaming_matches_batch(spark, events, tmp_path):
     assert got == want
 
 
+def _with_blocker(spark, events):
+    """events plus one X event at t=5 for user 1 (between A@0/B@10 and inside
+    A@0/B@25, but after A@20)."""
+    x = spark.createDataFrame(
+        [(100, 1, "X", "2024-01-01 00:00:05")],
+        "event_id bigint, user_id bigint, event_type string, ts_s string",
+    ).select(
+        "event_id", "user_id", "event_type", Fn.col("ts_s").cast("timestamp").alias("ts")
+    )
+    return events.unionByName(x)
+
+
+def test_negation_excludes_blocked_matches(spark, events):
+    """absent=(X) kills every match with an X strictly between first and last
+    step; matches whose interval avoids X survive untouched."""
+    ev = _with_blocker(spark, events)
+    got = sorted(
+        (r["user_id"], r["a_id"], r["b_id"])
+        for r in match_sequence(
+            ev,
+            STEPS(),
+            within_seconds=30,
+            absent=[("x", Fn.col("event_type") == "X")],
+        ).collect()
+    )
+    # X@5 blocks (1,2) [interval 0..10] and (1,4) [0..25]; (3,4) [20..25]
+    # and user 4's same-ts tie survive
+    assert got == [(1, 3, 4), (4, 9, 10)]
+
+
+def test_negation_boundary_exclusive(spark, events):
+    """An 'absent' event exactly AT a step's (ts, id) is not between them:
+    the between-bound is strict on both ends."""
+    # X at exactly B@10's timestamp with higher id -> after (10, id2)? no:
+    # same ts, id 101 > 2 means it is NOT before b (strict order) -> (1,2) ok
+    x = spark.createDataFrame(
+        [(101, 1, "X", "2024-01-01 00:00:10")],
+        "event_id bigint, user_id bigint, event_type string, ts_s string",
+    ).select(
+        "event_id", "user_id", "event_type", Fn.col("ts_s").cast("timestamp").alias("ts")
+    )
+    got = sorted(
+        (r["user_id"], r["a_id"], r["b_id"])
+        for r in match_sequence(
+            events.unionByName(x),
+            STEPS(),
+            within_seconds=30,
+            absent=[("x", Fn.col("event_type") == "X")],
+        ).collect()
+    )
+    # X@(10,101): after B@(10,2) -> does not block (1,2); before B@(25,4)
+    # and after A@(0,1) -> blocks (1,4); after A@(20,3)? no, (10,101) < (20,3)
+    # -> does not block (3,4)
+    assert got == [(1, 1, 2), (1, 3, 4), (4, 9, 10)]
+
+
+def test_negation_duplicate_absent_events_yield_one_suppression(spark, events):
+    """Two X events inside the same interval must not duplicate surviving
+    rows (left-outer + IS NULL semantics)."""
+    xs = spark.createDataFrame(
+        [(100, 1, "X", "2024-01-01 00:00:05"), (102, 1, "X", "2024-01-01 00:00:06")],
+        "event_id bigint, user_id bigint, event_type string, ts_s string",
+    ).select(
+        "event_id", "user_id", "event_type", Fn.col("ts_s").cast("timestamp").alias("ts")
+    )
+    got = sorted(
+        (r["user_id"], r["a_id"], r["b_id"])
+        for r in match_sequence(
+            events.unionByName(xs),
+            STEPS(),
+            within_seconds=30,
+            absent=[("x", Fn.col("event_type") == "X")],
+        ).collect()
+    )
+    assert got == [(1, 3, 4), (4, 9, 10)]
+
+
+def _wm_sentinels(spark, far_s: str):
+    """One far-future sentinel per leg type on never-joining keys: each leg's
+    filter is pushed below its watermark node, so every leg needs its own
+    watermark-advancing row (global watermark = min over legs)."""
+    return spark.createDataFrame(
+        [(-1, -1, "A", far_s), (-2, -2, "B", far_s), (-3, -3, "X", far_s)],
+        "event_id bigint, user_id bigint, event_type string, ts_s string",
+    ).select(
+        "event_id", "user_id", "event_type", Fn.col("ts_s").cast("timestamp").alias("ts")
+    )
+
+
+def test_streaming_negation_matches_batch(spark, events, tmp_path):
+    """Negation on a stream: the absent leg lowers to a watermark-evictable
+    left-outer join whose null-side flushes once the watermark passes the
+    absent window — result equals the batch recompute."""
+    from ksql_spark.streaming.sink import ExactlyOnceParquetSink
+
+    ev = _with_blocker(spark, events)
+    path = str(tmp_path / "ev")
+    ev.unionByName(_wm_sentinels(spark, "2024-06-01 00:00:00")).write.parquet(path)
+    src = (
+        spark.readStream.schema(ev.schema).parquet(path).withWatermark("ts", "10 seconds")
+    )
+    m = match_sequence(
+        src, STEPS(), within_seconds=30, absent=[("x", Fn.col("event_type") == "X")]
+    ).select("user_id", "a_id", "b_id")
+    sink = ExactlyOnceParquetSink(str(tmp_path / "sink"), lineage=False)
+    q = (
+        m.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, sink.read_data(spark).collect()))
+    want = sorted(
+        map(
+            tuple,
+            match_sequence(
+                ev, STEPS(), within_seconds=30, absent=[("x", Fn.col("event_type") == "X")]
+            )
+            .select("user_id", "a_id", "b_id")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) == 2
+
+
+def test_streaming_negation_kill_resume_exactly_once(spark, events, tmp_path):
+    """Kill the negation query mid-stream, resume from checkpoint: every
+    surviving match emitted exactly once (outer-join state recovered)."""
+    import time
+
+    from ksql_spark.streaming.sink import ExactlyOnceParquetSink
+
+    ev = _with_blocker(spark, events)
+    path = str(tmp_path / "ev")
+    for _ in range(3):
+        ev.coalesce(1).write.mode("append").parquet(path)
+        time.sleep(0.05)  # distinct mod-times -> deterministic file order
+    _wm_sentinels(spark, "2024-06-01 00:00:00").coalesce(1).write.mode("append").parquet(path)
+
+    def start(sink):
+        src = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+            .withWatermark("ts", "1 day")
+        )
+        m = match_sequence(
+            src, STEPS(), within_seconds=30, absent=[("x", Fn.col("event_type") == "X")]
+        ).select("user_id", "a_id", "b_id")
+        return (
+            m.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    sink = ExactlyOnceParquetSink(str(tmp_path / "sink"), lineage=False)
+    q = start(sink)
+    deadline = time.time() + 60
+    while not sink.committed_batches() and time.time() < deadline:
+        time.sleep(0.1)
+    q.stop()  # hard kill mid-stream
+    q.awaitTermination()
+    assert sink.committed_batches(), "no epoch committed before kill"
+
+    q2 = start(sink)
+    q2.awaitTermination()
+    got = sorted(map(tuple, sink.read_data(spark).collect()))
+    batch3 = spark.read.parquet(path).filter(Fn.col("user_id") > 0)
+    want = sorted(
+        map(
+            tuple,
+            match_sequence(
+                batch3,
+                STEPS(),
+                within_seconds=30,
+                absent=[("x", Fn.col("event_type") == "X")],
+            )
+            .select("user_id", "a_id", "b_id")
+            .collect(),
+        )
+    )
+    assert got == want  # exactly-once across the restart
+
+
 def test_streaming_cep_kill_resume_exactly_once(spark, events, tmp_path):
     """Stop the streaming pattern query mid-stream, resume from checkpoint:
     every match emitted exactly once (append-mode join state recovered)."""

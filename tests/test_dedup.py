@@ -127,20 +127,95 @@ def test_minhash_arrow_matches_expression_path(spark, docs):
 
 
 def test_cleanup_persisted_releases_blocks(spark, docs):
-    """Operators register persisted signature tables; cleanup_persisted (and
-    the next operator call) releases them instead of leaking MEMORY_AND_DISK
-    blocks for the session lifetime (ADVICE r2)."""
+    """Operators register persisted signature tables; cleanup_persisted
+    releases them instead of leaking MEMORY_AND_DISK blocks for the session
+    lifetime (ADVICE r2).  Operators never flush the registry themselves
+    (ADVICE r3: flush-on-entry yanked caches out from under still-held lazy
+    results), so two invocations accumulate until the OWNER cleans up."""
     from ksql_spark.operators import dedup
 
     dedup.cleanup_persisted()
     out = dedup.minhash_lsh_pairs(docs, n_hashes=8, bands=4, threshold=0.5)
     out.count()
     assert len(dedup._PERSISTED) > 0
+    n_first = len(dedup._PERSISTED)
+    # a second invocation must NOT unpersist the first call's frames
+    dedup.minhash_lsh_pairs(docs, n_hashes=8, bands=4, threshold=0.5).count()
+    assert len(dedup._PERSISTED) == 2 * n_first
     released = dedup.cleanup_persisted()
-    assert released > 0 and not dedup._PERSISTED
-    # a second invocation self-cleans: registry only holds the new call's frames
-    dedup.minhash_lsh_pairs(docs, n_hashes=8, bands=4, threshold=0.5).count()
-    n_after = len(dedup._PERSISTED)
-    dedup.minhash_lsh_pairs(docs, n_hashes=8, bands=4, threshold=0.5).count()
-    assert len(dedup._PERSISTED) == n_after
+    assert released == 2 * n_first and not dedup._PERSISTED
+
+
+def test_persist_scope_bounds_block_lifetime(spark, docs):
+    """The pipeline API (VERDICT r3 #9): inside persist_scope operators'
+    internal frames are tracked per-invocation-scope and released on exit —
+    no MEMORY_AND_DISK blocks outlive the pipeline."""
+    from ksql_spark.operators import dedup
+
     dedup.cleanup_persisted()
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_cached() -> int:
+        return len([i for i in jsc.getRDDStorageInfo() if i.numCachedPartitions() > 0])
+
+    base = n_cached()
+    with dedup.persist_scope():
+        pairs = dedup.minhash_lsh_pairs(docs, n_hashes=8, bands=4, threshold=0.5)
+        n_pairs = pairs.count()  # materialized INSIDE the scope
+        assert n_cached() > base
+        assert not dedup._PERSISTED  # scoped frames bypass the session registry
+    assert n_cached() == base  # scope exit released every block
+    assert n_pairs == dedup.minhash_lsh_pairs(docs, n_hashes=8, bands=4, threshold=0.5).count()
+    dedup.cleanup_persisted()
+
+
+def test_incremental_dedup_equals_full_recompute_subset(spark, docs):
+    """minhash_lsh_pairs_incremental (delta vs maintained index) must be
+    bit-equal to the full-recompute pairs restricted to pairs touching the
+    delta — the invariant that makes daily-increment dedup trustworthy."""
+    from ksql_spark.operators.dedup import (
+        minhash_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    old = docs.filter(Fn.col("doc_id") <= 3)  # 1,2,3: the indexed corpus
+    new = docs.filter(Fn.col("doc_id") > 3)   # 4,5,6: the increment (4 ~ 1/2/3)
+    idx = minhash_index(old, n_hashes=16, bands=8)
+    inc = minhash_lsh_pairs_incremental(
+        new, idx, old, n_hashes=16, bands=8, threshold=0.5
+    )
+    full = minhash_lsh_pairs(docs, n_hashes=16, bands=8, threshold=0.5)
+    want = sorted(
+        map(tuple, full.filter((Fn.col("id_l") > 3) | (Fn.col("id_r") > 3)).collect())
+    )
+    got = sorted(map(tuple, inc.collect()))
+    assert want, "fixture is vacuous — no pairs touch the increment"
+    assert got == want
+    # and appending the delta's index rows absorbs the batch: schema matches
+    delta_idx = minhash_index(new, n_hashes=16, bands=8)
+    assert delta_idx.columns == idx.columns
+
+
+def test_incremental_dedup_includes_delta_self_pairs(spark):
+    """Two near-dup docs arriving in the SAME increment must pair with each
+    other, not just with the index."""
+    from ksql_spark.operators.dedup import (
+        minhash_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "stable corpus document about watermarks and checkpoints")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "fresh duplicate pair about streaming joins and state stores"),
+            (11, "fresh duplicate pair about streaming joins and state stores"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = minhash_index(old, n_hashes=16, bands=8)
+    got = minhash_lsh_pairs_incremental(new, idx, old, n_hashes=16, bands=8, threshold=0.8)
+    rows = [(r["id_l"], r["id_r"]) for r in got.collect()]
+    assert rows == [(10, 11)]

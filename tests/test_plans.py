@@ -211,6 +211,54 @@ def test_topk_twolevel_adaptive(spark, sf):
     assert got[0]["tv"] == [976.0, 976.0, 976.0]
 
 
+def test_topk_twolevel_value_concentrated_hot_key(spark, sf):
+    """VERDICT r3 #1: a group that is 10^5 copies of ONE value must not land
+    in a single salt bucket's collect_list.  The rewrite pre-aggregates
+    (keys, value) -> count (plan shows the __tc count before any collect),
+    so per-task agg state is one row per distinct value — bounded for
+    value-CONCENTRATED hot keys, not just value-diverse ones — and the
+    duplicate expansion from exact counts keeps TOPK exact."""
+    from ksql_spark import F, STREAM, Schema, Select, TopK, TopKDistinct, compile_select
+
+    hot = spark.range(100_000).select(
+        (Fn.col("id") % 2).alias("k"),
+        Fn.when(Fn.col("id") % 2 == 0, Fn.lit(7.0))
+        .otherwise((Fn.col("id") % 50).cast("double"))
+        .alias("v"),
+    )
+    q = (
+        Select(F("k"), TopK(F("v"), 3).Alias("tv"))
+        .From(Schema("fact", STREAM))
+        .GroupBy(F("k"))
+        .EmitChanges()
+    )
+    spark.conf.set("spark.ksql.topk.twolevelThresholdBytes", "0")
+    try:
+        df = compile_select(q, sources={"fact": hot})
+        plan = plan_of(df)
+        # level 0 pre-aggregation (count per distinct value) precedes the
+        # collect: the hot VALUE collapses to one (value, count) row per task
+        assert "__tc" in plan and "__salt" in plan
+        rows = {r["k"]: list(r["tv"]) for r in df.collect()}
+        assert rows[0] == [7.0, 7.0, 7.0]  # one value, expanded from count
+        assert rows[1] == [49.0, 49.0, 49.0]
+
+        qd = (
+            Select(F("k"), TopKDistinct(F("v"), 3).Alias("tv"))
+            .From(Schema("fact", STREAM))
+            .GroupBy(F("k"))
+            .EmitChanges()
+        )
+        rowsd = {
+            r["k"]: list(r["tv"])
+            for r in compile_select(qd, sources={"fact": hot}).collect()
+        }
+        assert rowsd[0] == [7.0]
+        assert rowsd[1] == [49.0, 48.0, 47.0]
+    finally:
+        spark.conf.unset("spark.ksql.topk.twolevelThresholdBytes")
+
+
 def test_cep_plan_no_cartesian_and_bounded(spark, sf):
     """CEP joins must stay key-equi (no cartesian/BNL) with the time bound
     pushed into the join condition."""

@@ -63,30 +63,34 @@ WORKER = r"""
 import json, sys, time
 sys.path.insert(0, %(repo)r)
 cores, data, out = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+shuffle_dir = sys.argv[4] if len(sys.argv) > 4 else None
 from pyspark.sql import functions as F
 from ksql_spark.session import get_spark
-from ksql_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+from ksql_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs, persist_scope
 
 spark = get_spark(app_name=f"cluster_scale_{cores}", master=f"local[{cores}]",
                   shuffle_partitions=cores,
                   extra_conf={"spark.sql.files.maxPartitionBytes": "16m",
-                              "spark.local.dir": "/dev/shm/ksql_dedup_tmp"})
+                              **({"spark.local.dir": shuffle_dir} if shuffle_dir else {})})
 spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet(data)
 n_docs = docs.count()  # warm page cache + JVM
 t0 = time.time()
-pairs = minhash_lsh_pairs(docs, n_hashes=48, bands=16, shingle_n=3, threshold=0.7)
-decisions = dedup_clusters(docs, pairs)
-agg = decisions.groupBy().agg(
-    F.count(F.lit(1)).alias("docs"),
-    F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("dropped"),
-    F.countDistinct("cluster_id").alias("clusters"),
-).first()
-dt = time.time() - t0
-# chain check: every planted chain (base, base+10M, base+20M) -> one cluster
-bad = (decisions.filter(F.col("doc_id") >= 10_000_000)
-       .withColumn("expect", F.pmod(F.col("doc_id"), 10_000_000))
-       .filter(F.col("cluster_id") != F.col("expect")).count())
+# persist_scope: every operator-internal persisted block is released when
+# the pipeline's results are materialized (no MEMORY_AND_DISK leak)
+with persist_scope():
+    pairs = minhash_lsh_pairs(docs, n_hashes=48, bands=16, shingle_n=3, threshold=0.7)
+    decisions = dedup_clusters(docs, pairs)
+    agg = decisions.groupBy().agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("dropped"),
+        F.countDistinct("cluster_id").alias("clusters"),
+    ).first()
+    dt = time.time() - t0
+    # chain check: every planted chain (base, base+10M, base+20M) -> one cluster
+    bad = (decisions.filter(F.col("doc_id") >= 10_000_000)
+           .withColumn("expect", F.pmod(F.col("doc_id"), 10_000_000))
+           .filter(F.col("cluster_id") != F.col("expect")).count())
 with open(out, "w") as fh:
     json.dump({"cores": cores, "n_docs": n_docs, "seconds": round(dt, 3),
                "docs_per_sec": round(n_docs / dt, 1),
@@ -108,14 +112,18 @@ def _run_py(code: str, *args: str, log: str) -> None:
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    # shuffle-local dir follows the SAME /dev/shm-or-tmp fallback as the
+    # data dir (ADVICE r3: unconditional /dev/shm crashed shm-less hosts)
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     data = os.path.join(base, f"ksql_cluster_docs_{n_docs}")
-    os.makedirs("/dev/shm/ksql_dedup_tmp", exist_ok=True)
+    shuffle_dir = os.path.join(base, "ksql_dedup_tmp")
+    os.makedirs(shuffle_dir, exist_ok=True)
     if not os.path.exists(os.path.join(data, "_SUCCESS")):
         _run_py(GEN, str(n_docs), data, log="/tmp/cluster_gen.log")
 
     out = tempfile.mktemp(suffix=".json")
-    _run_py(WORKER, str(cores), data, out, log=f"/tmp/cluster_worker_{cores}.log")
+    _run_py(WORKER, str(cores), data, out, shuffle_dir,
+            log=f"/tmp/cluster_worker_{cores}.log")
     with open(out) as fh:
         r = json.load(fh)
     n_chains = n_docs // 25 + (1 if n_docs % 25 else 0)
