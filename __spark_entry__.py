@@ -1509,6 +1509,28 @@ def streaming_cep_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read_data(spark)
 
 
+def q_cep_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP optional leg (MATCH_RECOGNIZE's X?): click -> purchase within 4h,
+    with any 'view' strictly between them captured as view_id/view_ts (NULL
+    when none) — relational all-combinations semantics, one row per
+    (match, optional event).  Lowered to a time-bounded LEFT OUTER join
+    (operators/cep.py); streaming parity is pytest-covered
+    (tests/test_cep.py).  Oracle = the equivalent LEFT JOIN."""
+    from ksql_spark.operators.cep import match_sequence
+
+    src = _load(spark, sf_dir, "events")
+    m = match_sequence(
+        src["events"],
+        [
+            ("click", Fn.col("event_type") == "click"),
+            ("purchase", Fn.col("event_type") == "purchase"),
+        ],
+        within_seconds=14400,
+        optional=[("view", Fn.col("event_type") == "view")],
+    )
+    return m.select("user_id", "click_id", "purchase_id", "view_id")
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus dedup (VERDICT r3 #6): 90% of documents are
     pre-indexed (minhash_index — the maintained signature relation); the
@@ -1947,6 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4 -------------------------------------------------
         "cep_negation": q_cep_negation,
         "streaming_cep_negation": streaming_cep_negation,
+        "cep_optional": q_cep_optional,
         "dedup_incremental": q_dedup_incremental,
         "embed_lsh_ann_served": q_embed_lsh_ann_served,
         "streaming_topk_having": streaming_topk_having,
@@ -2373,6 +2396,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cep_negation": cep_negation_sql,
         "streaming_cep_negation": cep_negation_sql,
+        "cep_optional": """
+            SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+                   v.event_id AS view_id
+            FROM events c
+            JOIN events p ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+             AND p.ts <= c.ts + INTERVAL '14400 seconds'
+            LEFT JOIN events v ON v.user_id = c.user_id AND v.event_type = 'view'
+             AND (v.ts > c.ts OR (v.ts = c.ts AND v.event_id > c.event_id))
+             AND (v.ts < p.ts OR (v.ts = p.ts AND v.event_id < p.event_id))
+             AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL '14400 seconds'
+        """,
         "dedup_incremental": sql_minhash_pairs_incremental(
             shingle_n=3, threshold=0.7, delta_mod=10
         ),

@@ -44,17 +44,23 @@ HEADLINE = [
     "streaming_stream_stream_join",
     "streaming_topk_changelog",
     "streaming_cep_sequence",
+    "cep_negation",
+    "streaming_cep_negation",
+    "streaming_topk_having",
+    "streaming_session_final",
     "text_stats",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
+    "dedup_incremental",
     "chunk_documents",
     "cep_match_sequence",
     "embed_cosine_topk",
     "embed_neardup",
     "embed_lsh_ann",
     "embed_lsh_ann_batch",
+    "embed_lsh_ann_served",
 ]
 
 

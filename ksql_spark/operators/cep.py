@@ -41,6 +41,7 @@ def match_sequence(
     id_col: str = "event_id",
     mode: str = "all",
     absent: list[tuple[str, Column]] | None = None,
+    optional: list[tuple[str, Column]] | None = None,
 ) -> DataFrame:
     """Detect ordered event sequences per key.
 
@@ -57,13 +58,22 @@ def match_sequence(
     stream-stream joins (plain left_anti is batch-only), so THE SAME PLAN
     still runs batch and streaming; the absent side's state is evicted by
     the same symmetric vs-step-0 watermark bound as the step joins.
+
+    ``optional`` adds OPTIONAL legs (MATCH_RECOGNIZE's ``X?``): matching
+    events strictly between the first and last step fill ``<name>_id`` /
+    ``<name>_ts``; a match with no such event still emits, with NULLs.
+    Relational all-combinations semantics: a match interval holding k
+    optional events emits k rows (one per event), exactly what the
+    time-bounded LEFT OUTER join computes — deterministic and
+    oracle-checkable, batch == streaming.
     """
     if len(steps) < 2:
         raise ValueError("a sequence pattern needs at least 2 steps")
     if mode not in ("all", "first"):
         raise ValueError(f"unknown match mode {mode!r}")
     absent = list(absent or [])
-    all_names = [n for n, _ in steps] + [n for n, _ in absent]
+    optional = list(optional or [])
+    all_names = [n for n, _ in steps] + [n for n, _ in absent] + [n for n, _ in optional]
     if len(set(all_names)) != len(all_names):
         raise ValueError("step names must be unique (they become output columns)")
 
@@ -103,7 +113,7 @@ def match_sequence(
     # state watermark-evictable (absent events land inside [first_ts,
     # first_ts + within], the same symmetric window as the step chain).
     first, last = names[0], names[-1]
-    if absent and out.isStreaming:
+    if (absent or optional) and out.isStreaming:
         # the inner chain leaves every step's ts watermark-tagged; an OUTER
         # join requires exactly one event-time column on its left side (it
         # times null-emission off it).  Re-materialize all but step 0's ts
@@ -143,23 +153,57 @@ def match_sequence(
             .drop(f"__ak{i}", f"{name}_ts", f"{name}_id")
         )
 
+    # optional legs: same between-first-last window as absent, but the rows
+    # are KEPT either way — matched events fill the leg's columns, unmatched
+    # matches carry NULLs (emitted when the watermark passes the window).
+    for i, (name, pred) in enumerate(optional):
+        o = df.filter(pred).select(
+            F.col(key_col).alias(f"__ok{i}"),
+            F.col(ts_col).alias(f"{name}_ts"),
+            F.col(id_col).alias(f"{name}_id"),
+        )
+        after_first = (F.col(f"{name}_ts") > F.col(f"{first}_ts")) | (
+            (F.col(f"{name}_ts") == F.col(f"{first}_ts"))
+            & (F.col(f"{name}_id") > F.col(f"{first}_id"))
+        )
+        before_last = (F.col(f"{name}_ts") < F.col(f"{last}_ts")) | (
+            (F.col(f"{name}_ts") == F.col(f"{last}_ts"))
+            & (F.col(f"{name}_id") < F.col(f"{last}_id"))
+        )
+        bound = F.col(f"{name}_ts") <= F.col(f"{first}_ts") + F.expr(
+            f"INTERVAL {within_seconds} SECONDS"
+        )
+        lower = F.col(f"{name}_ts") >= F.col(f"{first}_ts")
+        out = out.join(
+            o,
+            (F.col("__k0") == F.col(f"__ok{i}"))
+            & after_first
+            & before_last
+            & bound
+            & lower,
+            "left_outer",
+        ).drop(f"__ok{i}")
+
+    out_names = names + [n for n, _ in optional]
     cols = [F.col("__k0").alias(key_col)]
-    for n in names:
+    for n in out_names:
         cols += [F.col(f"{n}_id"), F.col(f"{n}_ts")]
     out = out.select(*cols)
 
     if mode == "first":
         # earliest match per key: min over the ordered (ts, id, ...) tuple
+        # (optional legs participate after the steps; NULL orders first in
+        # struct comparison — deterministic)
         tup = F.struct(
-            *[c for n in names for c in (F.col(f"{n}_ts"), F.col(f"{n}_id"))]
+            *[c for n in out_names for c in (F.col(f"{n}_ts"), F.col(f"{n}_id"))]
         )
         out = (
             out.groupBy(key_col)
             .agg(F.min(tup).alias("__m"))
             .select(
                 F.col(key_col),
-                *[F.col(f"__m.{n}_id").alias(f"{n}_id") for n in names],
-                *[F.col(f"__m.{n}_ts").alias(f"{n}_ts") for n in names],
+                *[F.col(f"__m.{n}_id").alias(f"{n}_id") for n in out_names],
+                *[F.col(f"__m.{n}_ts").alias(f"{n}_ts") for n in out_names],
             )
         )
     return out

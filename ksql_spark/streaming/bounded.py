@@ -179,14 +179,25 @@ def _bounded_func(spec_kind: str, bound: int, buckets: int, n_keys: int, windowe
             data["__hk"] = pd.Series([list(bk)], dtype=object)
             data["__hc"] = pd.Series([list(bc)], dtype=object)
         else:
-            data["__out"] = pd.Series([list(out_vals)], dtype=object)
+            # float NaN cannot cross the Arrow output boundary as a VALUE
+            # (from_pandas converts it to null, and Spark's columnar reader
+            # for this operator's output throws on null array elements under
+            # any element-level expression).  Ship the non-NaN elements plus
+            # a NaN count; the JVM side rebuilds the array with array_repeat
+            # + concat, which never reads a null element.
+            vals_list = list(out_vals)
+            nan_ct = sum(1 for v in vals_list if _is_nan(v))
+            data["__out"] = pd.Series(
+                [[v for v in vals_list if not _is_nan(v)]], dtype=object
+            )
+            data["__nan"] = [nan_ct]
         return pd.DataFrame(data)
 
     def empty() -> "pd.DataFrame":
         cols = (["window_start", "window_end"] if windowed else []) + [
             f"__k{j}" for j in range(n_keys)
         ]
-        cols += ["__hk", "__hc"] if is_hist else ["__out"]
+        cols += ["__hk", "__hc"] if is_hist else ["__out", "__nan"]
         return pd.DataFrame({c: [] for c in cols})
 
     def func(key, pdf_iter: Iterator, state: GroupState) -> Iterator:
@@ -201,7 +212,10 @@ def _bounded_func(spec_kind: str, bound: int, buckets: int, n_keys: int, windowe
             hkeys, hcnts, herrs = state.get if state.exists else ([], [], [])
         else:
             (vals,) = state.get if state.exists else ([],)
-            vals = list(vals)
+            # the Arrow/pandas state round-trip stores float NaN as null
+            # (from_pandas semantics); inputs are null-filtered JVM-side, so
+            # any None here IS a NaN — restore it
+            vals = [float("nan") if v is None else v for v in vals]
 
         touched = False
         for pdf in pdf_iter:
@@ -362,7 +376,10 @@ def bounded_agg_changelog(
             ]
         )
     else:
-        out_fields = [StructField("__out", ArrayType(val_type))]
+        out_fields = [
+            StructField("__out", ArrayType(val_type)),
+            StructField("__nan", LongType()),
+        ]
         state_schema = StructType([StructField("vals", ArrayType(val_type))])
     out_schema = StructType(win_fields + key_fields + out_fields)
 
@@ -388,6 +405,19 @@ def bounded_agg_changelog(
         sel.append(
             F.map_from_arrays(F.col("__hk"), F.col("__hc")).alias(agg.output_name())
         )
+    elif val_type.typeName() in ("double", "float"):
+        # rebuild the NaN elements shipped as a count (see emit()): NaN is
+        # the greatest double, so it leads a desc top-k and trails an asc
+        # collect — matching the batch lowering's sort exactly
+        nan_arr = F.array_repeat(
+            F.lit(float("nan")).cast(val_type), F.col("__nan").cast("int")
+        )
+        rebuilt = (
+            F.concat(nan_arr, F.col("__out"))
+            if kind in ("topk", "topk_distinct")
+            else F.concat(F.col("__out"), nan_arr)
+        )
+        sel.append(rebuilt.alias(agg.output_name()))
     else:
         sel.append(F.col("__out").alias(agg.output_name()))
     return out.select(*sel)

@@ -355,3 +355,83 @@ def test_streaming_cep_kill_resume_exactly_once(spark, events, tmp_path):
         )
     )
     assert got == want  # exactly-once across the restart
+
+
+def test_optional_leg_fills_or_nulls(spark, events):
+    """optional=(X?) captures events strictly between first and last step
+    (one row per optional event — all-combinations), NULLs when none."""
+    ev = _with_blocker(spark, events)  # X@(5,100) for user 1
+    got = sorted(
+        (r["user_id"], r["a_id"], r["b_id"], r["x_id"])
+        for r in match_sequence(
+            ev,
+            STEPS(),
+            within_seconds=30,
+            optional=[("x", Fn.col("event_type") == "X")],
+        ).collect()
+    )
+    # (1,2): X@5 inside (0,10) -> filled; (1,4): X@5 inside (0,25) -> filled;
+    # (3,4): nothing between 20..25 -> NULL; user 4 same-ts tie -> NULL
+    assert got == [(1, 1, 2, 100), (1, 1, 4, 100), (1, 3, 4, None), (4, 9, 10, None)]
+
+
+def test_optional_multiplicity_one_row_per_event(spark, events):
+    xs = spark.createDataFrame(
+        [(100, 1, "X", "2024-01-01 00:00:05"), (102, 1, "X", "2024-01-01 00:00:06")],
+        "event_id bigint, user_id bigint, event_type string, ts_s string",
+    ).select(
+        "event_id", "user_id", "event_type", Fn.col("ts_s").cast("timestamp").alias("ts")
+    )
+    got = sorted(
+        (r["user_id"], r["a_id"], r["b_id"], r["x_id"])
+        for r in match_sequence(
+            events.unionByName(xs),
+            STEPS(),
+            within_seconds=30,
+            optional=[("x", Fn.col("event_type") == "X")],
+        ).collect()
+    )
+    assert got == [
+        (1, 1, 2, 100),
+        (1, 1, 2, 102),
+        (1, 1, 4, 100),
+        (1, 1, 4, 102),
+        (1, 3, 4, None),
+        (4, 9, 10, None),
+    ]
+
+
+def test_streaming_optional_matches_batch(spark, events, tmp_path):
+    from ksql_spark.streaming.sink import ExactlyOnceParquetSink
+
+    ev = _with_blocker(spark, events)
+    path = str(tmp_path / "ev")
+    ev.unionByName(_wm_sentinels(spark, "2024-06-01 00:00:00")).write.parquet(path)
+    src = (
+        spark.readStream.schema(ev.schema).parquet(path).withWatermark("ts", "10 seconds")
+    )
+    m = match_sequence(
+        src, STEPS(), within_seconds=30, optional=[("x", Fn.col("event_type") == "X")]
+    ).select("user_id", "a_id", "b_id", "x_id")
+    sink = ExactlyOnceParquetSink(str(tmp_path / "sink"), lineage=False)
+    q = (
+        m.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(lambda r: tuple(r), sink.read_data(spark).collect()), key=str)
+    want = sorted(
+        map(
+            lambda r: tuple(r),
+            match_sequence(
+                ev, STEPS(), within_seconds=30, optional=[("x", Fn.col("event_type") == "X")]
+            )
+            .select("user_id", "a_id", "b_id", "x_id")
+            .collect(),
+        ),
+        key=str,
+    )
+    assert got == want and len(got) == 4

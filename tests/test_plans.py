@@ -254,7 +254,7 @@ def test_topk_twolevel_value_concentrated_hot_key(spark, sf):
             for r in compile_select(qd, sources={"fact": hot}).collect()
         }
         assert rowsd[0] == [7.0]
-        assert rowsd[1] == [49.0, 48.0, 47.0]
+        assert rowsd[1] == [49.0, 47.0, 45.0]  # odd ids -> odd residues
     finally:
         spark.conf.unset("spark.ksql.topk.twolevelThresholdBytes")
 
