@@ -1087,7 +1087,15 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count_ws(Fn.col("text")).alias("tok_ws"),
         token_count_bpe(Fn.col("text")).alias("tok_bpe"),
         lang_id(Fn.col("text")).alias("lang_pred"),
-        Fn.round(quality_score(Fn.col("text")), 6).alias("quality"),
+        # floor(q*1e6+0.5) instead of round(q,6): the raw score is
+        # bit-identical across engines, but round() SEMANTICS differ on
+        # boundary doubles (Spark rounds the decimal string HALF_UP, DuckDB
+        # rounds the binary product) — caught by the sf0.1 oracle run, 3 of
+        # 5,000 rows flipped.  The floor form is pure IEEE arithmetic, so
+        # both engines compute the identical integer.
+        Fn.floor(quality_score(Fn.col("text")) * 1000000.0 + 0.5)
+        .cast("bigint")
+        .alias("quality_e6"),
         fingerprint(Fn.col("text")).alias("fp"),
     )
 
@@ -2294,7 +2302,7 @@ def oracle_sql() -> dict[str, str]:
                    {SQL_TOKEN_WS.format(c='text')} AS tok_ws,
                    {SQL_TOKEN_BPE.format(c='text')} AS tok_bpe,
                    {sql_lang_id('text')} AS lang_pred,
-                   round({sql_quality_score('text')}, 6) AS quality,
+                   floor({sql_quality_score('text')} * 1000000.0 + 0.5)::bigint AS quality_e6,
                    {sql_fingerprint('text')} AS fp
             FROM documents
         """,
