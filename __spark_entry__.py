@@ -1427,14 +1427,20 @@ def streaming_cep_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         within_seconds=14400,
     ).select("user_id", Fn.col("click_id"), Fn.col("purchase_id"))
     sink = ExactlyOnceParquetSink(os.path.join(work, "engine", "cep"), lineage=False)
-    q = (
-        m.writeStream.foreachBatch(sink)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # declared query parallelism (see streaming_cep_negation)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            m.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return sink.read_data(spark)
 
 
@@ -1506,14 +1512,23 @@ def streaming_cep_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
         absent=[("blocker", Fn.col("event_type") == "view")],
     ).select("user_id", Fn.col("click_id"), Fn.col("purchase_id"))
     sink = ExactlyOnceParquetSink(os.path.join(work, "engine", "cepneg"), lineage=False)
-    q = (
-        m.writeStream.foreachBatch(sink)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # declared query parallelism, like the engine's PARTITIONS metadata: 3
+    # chained stateful joins instantiate a state store per shuffle partition
+    # per op — 8 fits this keyspace; the session default (32) would triple
+    # the per-batch store open/commit overhead for no speedup
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            m.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return sink.read_data(spark)
 
 
@@ -1573,7 +1588,11 @@ def q_embed_lsh_ann_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = list(emb.filter(Fn.col("vec_id") == 0).first()["embedding"])
     work = tempfile.mkdtemp(prefix="ksql_driver_annsrv_")
     corpus_path = os.path.join(work, "corpus")
-    add_lsh_buckets(emb.filter(Fn.col("vec_id") != 0), n_planes=8, n_dims=64).write.partitionBy(
+    bucketed = add_lsh_buckets(emb.filter(Fn.col("vec_id") != 0), n_planes=8, n_dims=64)
+    # cluster writers by bucket first: 8 write tasks each owning whole
+    # buckets, instead of every input partition emitting a file into every
+    # bucket directory (the small-files explosion)
+    bucketed.repartition(8, Fn.col("lsh_bucket")).write.partitionBy(
         "lsh_bucket"
     ).mode("overwrite").parquet(corpus_path)
     served = spark.read.parquet(corpus_path)

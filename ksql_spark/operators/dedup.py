@@ -560,27 +560,35 @@ def minhash_lsh_pairs_incremental(
         )
         .select(F.col("l.id").alias("id_l"), F.col("r.id").alias("id_r"))
     )
-    cand = ni.union(nn).dropDuplicates(["id_l", "id_r"])
+    cand = _persist(ni.union(nn).dropDuplicates(["id_l", "id_r"]))
 
-    # verification shingles: only candidate docs are ever re-shingled
+    # verification: re-shingle ONLY candidate docs, fetched via a BROADCAST
+    # of the (small) candidate-id set — the corpus text table is scanned
+    # once with the broadcast filter and never shuffled, keeping the whole
+    # verify phase proportional to the candidate volume rather than the
+    # corpus (the delta-∝-cost claim would otherwise break on the join).
     texts = corpus.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")).unionByName(
         new_df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
     )
-    tl = texts.select(F.col("id").alias("id_l"), F.col("__t").alias("__t_l"))
-    tr = texts.select(F.col("id").alias("id_r"), F.col("__t").alias("__t_r"))
+    cand_ids = (
+        cand.select(F.col("id_l").alias("id"))
+        .union(cand.select(F.col("id_r").alias("id")))
+        .distinct()
+    )
+    sh = _persist(
+        texts.join(F.broadcast(cand_ids), "id").select(
+            "id", word_shingles(F.col("__t"), shingle_n).alias("sh")
+        )
+    )
+    sl = sh.select(F.col("id").alias("id_l"), F.col("sh").alias("sh_l"))
+    sr = sh.select(F.col("id").alias("id_r"), F.col("sh").alias("sh_r"))
     return (
-        cand.join(tl, "id_l")
-        .join(tr, "id_r")
+        cand.join(sl, "id_l")
+        .join(sr, "id_r")
         .select(
             "id_l",
             "id_r",
-            F.round(
-                jaccard(
-                    word_shingles(F.col("__t_l"), shingle_n),
-                    word_shingles(F.col("__t_r"), shingle_n),
-                ),
-                6,
-            ).alias("jaccard_sim"),
+            F.round(jaccard(F.col("sh_l"), F.col("sh_r")), 6).alias("jaccard_sim"),
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )

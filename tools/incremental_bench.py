@@ -49,7 +49,14 @@ def main() -> None:
         extra_conf={"spark.sql.files.maxPartitionBytes": "16m"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    # SF_DIR may be a testdata dir (containing documents.parquet) or a direct
+    # parquet table path (e.g. the 1M-doc corpus from tools/cluster_scaling.py)
+    src = (
+        SF_DIR
+        if os.path.exists(os.path.join(SF_DIR, "_SUCCESS"))
+        else os.path.join(SF_DIR, "documents.parquet")
+    )
+    docs = spark.read.parquet(src)
     n_docs = docs.count()  # warm page cache + JVM
     old = docs.filter(F.col("doc_id") % 10 != 0)
     new = docs.filter(F.col("doc_id") % 10 == 0)
