@@ -1642,6 +1642,59 @@ def streaming_topk_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_multi_agg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed scalar + collection aggregates in ONE bounded stateful operator
+    (round-4 extension): COUNT / SUM / MAX ride along as O(1) state slots
+    next to the O(k) TOPK, so the mixed query no longer falls back to the
+    native fold whose collect state grows with group history.  Oracle = the
+    batch recompute (group stats joined to the unnested top-k)."""
+    from ksql_spark import (
+        TABLE, Catalog, Count, Create, F, Max, RawColumn, STREAM, Schema, Select, Sum, TopK,
+    )
+    from ksql_spark.streaming.engine import PersistentQueryManager
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    work = tempfile.mkdtemp(prefix="ksql_driver_multi_")
+    cat = Catalog(spark, root=os.path.join(work, "catalog"))
+    cat.register_parquet(
+        "events",
+        os.path.join(sf_dir, "events.parquet"),
+        ref=STREAM,
+        event_time_col="ts",
+        event_order_cols=["ts", "event_id"],
+        partitions=8,
+    )
+    mgr = PersistentQueryManager(
+        spark, cat, workdir=os.path.join(work, "engine"), grace="365 days",
+        enable_metrics=False,
+    )
+    rv = RawColumn(Fn.round(Fn.col("value"), 4))
+    csas = Create(TABLE, "user_mix").AsSelect(
+        Select(
+            F("user_id"),
+            Count(F("event_id")).Alias("cnt"),
+            Sum(rv).Alias("sum_val"),
+            Max(rv).Alias("max_val"),
+            TopK(rv, 3).Alias("top_vals"),
+        )
+        .From(Schema("events", STREAM))
+        .GroupBy(F("user_id"))
+        .EmitChanges()
+    )
+    mgr.create_as_select(csas, available_now=True, await_termination=True)
+    state = cat.read("QUERYABLE_user_mix")
+    return state.select(
+        "user_id",
+        "cnt",
+        Fn.round("sum_val", 4).alias("sum_val"),
+        "max_val",
+        Fn.posexplode("top_vals").alias("rank", "top_val"),
+    ).select(
+        "user_id", "cnt", "sum_val", "max_val",
+        Fn.col("rank").cast("bigint").alias("rank"), "top_val",
+    )
+
+
 def streaming_session_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows under EMIT FINAL — the NATIVE append-mode
     session_window aggregation (Spark supports it; only update mode needs
@@ -2001,6 +2054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_lsh_ann_served": q_embed_lsh_ann_served,
         "streaming_topk_having": streaming_topk_having,
         "streaming_session_final": streaming_session_final,
+        "streaming_multi_agg_changelog": streaming_multi_agg_changelog,
         # -- driver-green in r3 (cheap re-confirmations fill the window) ----
         "filter_project": q_filter_project,
         "filter_in_null": q_filter_in_null,
@@ -2448,6 +2502,19 @@ def oracle_sql() -> dict[str, str]:
                          list_slice(list(round(value, 4) ORDER BY round(value, 4) DESC), 1, 3) AS top_vals
                   FROM events GROUP BY user_id)
             WHERE top_vals >= [300.0]
+        """,
+        "streaming_multi_agg_changelog": """
+            WITH g AS (
+                SELECT user_id, count(event_id) AS cnt,
+                       round(sum(round(value, 4)), 4) AS sum_val,
+                       max(round(value, 4)) AS max_val,
+                       list_slice(list(round(value, 4)
+                                       ORDER BY round(value, 4) DESC), 1, 3) AS top_vals
+                FROM events GROUP BY user_id)
+            SELECT user_id, cnt, sum_val, max_val,
+                   cast(generate_subscripts(top_vals, 1) - 1 AS bigint) AS rank,
+                   unnest(top_vals) AS top_val
+            FROM g
         """,
         "streaming_session_final": """
             WITH mx AS (SELECT max(ts) AS mts FROM events),

@@ -48,6 +48,7 @@ HEADLINE = [
     "streaming_cep_negation",
     "streaming_topk_having",
     "streaming_session_final",
+    "streaming_multi_agg_changelog",
     "text_stats",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -352,7 +352,7 @@ def compile_select(
             b_ts,
             [(g.output_name(), g.output()) for g in sb.group_by],
             sb.window,
-            agg_fields[0],
+            agg_fields,
         )
         # re-project to the declared field order + aliases so the bounded
         # path's output shape matches the native lowering exactly
@@ -380,7 +380,8 @@ def compile_select(
                 h_aggs: list[AggregateFn] = []
                 _collect_aggs(cond, h_aggs)
                 for a in h_aggs:
-                    h_subs[id(a)] = agg_fields[0].output_name()
+                    match = next(f for f in agg_fields if _agg_matches(a, f))
+                    h_subs[id(a)] = match.output_name()
             for cond in sb.having_exprs:
                 df = df.filter(_lower_with_subs(cond, h_subs))
     elif agg_fields or sb.group_by:
@@ -489,30 +490,48 @@ def _agg_matches(a: AggregateFn, b: AggregateFn) -> bool:
     )
 
 
-def _is_bounded_streaming_agg(sb: SelectBuilder, agg_fields: list) -> bool:
-    """True when the query's single aggregate has a bounded-state streaming
-    lowering (streaming/bounded.py).
+def _is_bounded_collection(f: AggregateFn) -> bool:
+    if isinstance(f, (TopK, Histogram, CollectSet)):  # TopKDistinct subclasses TopK
+        return True
+    return isinstance(f, CollectList) and not f.order_by
 
-    HAVING no longer disables the path (VERDICT r3 finding #2 — falling back
-    to the native fold silently reintroduced the unbounded-state risk):
-    conditions whose aggregate refs all match the selected aggregate are
-    applied as a post-filter on the operator's upsert stream.  A HAVING over
-    a DIFFERENT aggregate still needs the one-groupBy hidden-agg rewrite and
+
+def _is_bounded_scalar(f: AggregateFn) -> bool:
+    from ..expr import Avg, Count, Max, Min, Sum
+
+    return isinstance(f, (Count, Sum, Avg, Min, Max))
+
+
+def _is_bounded_streaming_agg(sb: SelectBuilder, agg_fields: list) -> bool:
+    """True when EVERY aggregate in the query has a bounded-state streaming
+    lowering (streaming/bounded.py) and at least one of them is a
+    collection aggregate (TOPK / HISTOGRAM / COLLECT_* — the kinds whose
+    NATIVE streaming fold keeps the whole group history in one state
+    value).  Scalar aggregates (COUNT/SUM/MIN/MAX/AVG) ride along with
+    O(1) state slots, so a mixed `COUNT(*), TOPK(v, 3)` query no longer
+    falls back to the unbounded fold; an all-scalar query keeps the native
+    hash aggregate, which is already O(1) per group.
+
+    HAVING does not disable the path (VERDICT r3 finding #2): conditions
+    whose aggregate refs all match SOME selected aggregate are applied as a
+    post-filter on the operator's upsert stream.  A HAVING over an
+    unselected aggregate still needs the one-groupBy hidden-agg rewrite and
     keeps the native fold."""
-    if len(agg_fields) != 1:
+    if not agg_fields:
         return False
     if isinstance(sb.window, SessionWindow):
         return False
-    f = agg_fields[0]
+    if not any(_is_bounded_collection(f) for f in agg_fields):
+        return False
+    if not all(_is_bounded_collection(f) or _is_bounded_scalar(f) for f in agg_fields):
+        return False
     if sb.having_exprs:
         having_aggs: list[AggregateFn] = []
         for cond in sb.having_exprs:
             _collect_aggs(cond, having_aggs)
-        if not all(_agg_matches(a, f) for a in having_aggs):
+        if not all(any(_agg_matches(a, f) for f in agg_fields) for a in having_aggs):
             return False
-    if isinstance(f, (TopK, Histogram, CollectSet)):
-        return True
-    return isinstance(f, CollectList) and not f.order_by
+    return True
 
 
 def _lower_histogram_twolevel(

@@ -160,12 +160,48 @@ def hist_top_buckets(hkeys: list, hcnts: list, buckets: int) -> tuple[list, list
 # ---------------------------------------------------------------------------
 
 
-def _bounded_func(spec_kind: str, bound: int, buckets: int, n_keys: int, windowed: bool) -> Callable:
+def _merge_scalar(kind: str, cur_val, cur_n: int, batch_vals: list):
+    """O(1)-state scalar merges (count/sum/min/max/avg-sum).
+
+    ``batch_vals`` holds the batch's NON-NULL inputs (per-agg mask applied);
+    integer sums accumulate in Python ints (exact, no silent numpy wrap);
+    NaN ordering for min/max matches Spark (NaN is the greatest double).
+    """
+    n = cur_n + len(batch_vals)
+    if kind == "count":
+        return None, n
+    if kind in ("sum", "avg"):
+        s = cur_val
+        for v in batch_vals:
+            v = float(v) if kind == "avg" else v
+            s = v if s is None else s + v
+        return s, n
+    # min / max
+    vals = list(batch_vals)
+    if cur_n:
+        vals.append(cur_val)
+    if not vals:
+        return cur_val, n
+    if kind == "max":
+        return max(vals, key=_sort_key), n
+    return min(vals, key=_sort_key), n
+
+
+COLLECTION_KINDS = ("topk", "topk_distinct", "collect_list", "collect_set")
+SCALAR_KINDS = ("count", "sum", "min", "max", "avg")
+
+
+def _bounded_func(specs: list[dict], n_keys: int, windowed: bool) -> Callable:
+    """The multi-aggregate stateful kernel: one state slot group per agg.
+
+    ``specs`` is a list of plain dicts {kind, bound, buckets} — picklable,
+    shipped to executors.  State layout is the concatenation of each agg's
+    slots (collection: 1 array; histogram: 3 arrays; count: 1 long;
+    sum/min/max/avg: value + contribution count).
+    """
     import pandas as pd  # noqa: PLC0415 — executor-side import
 
-    is_hist = spec_kind == "histogram"
-
-    def emit(key, out_vals) -> "pd.DataFrame":
+    def emit(key, outs: list) -> "pd.DataFrame":
         data = {}
         i = 0
         if windowed:
@@ -174,31 +210,101 @@ def _bounded_func(spec_kind: str, bound: int, buckets: int, n_keys: int, windowe
             i = 2
         for j in range(n_keys):
             data[f"__k{j}"] = [key[i + j]]
-        if is_hist:
-            bk, bc = out_vals
-            data["__hk"] = pd.Series([list(bk)], dtype=object)
-            data["__hc"] = pd.Series([list(bc)], dtype=object)
-        else:
-            # float NaN cannot cross the Arrow output boundary as a VALUE
-            # (from_pandas converts it to null, and Spark's columnar reader
-            # for this operator's output throws on null array elements under
-            # any element-level expression).  Ship the non-NaN elements plus
-            # a NaN count; the JVM side rebuilds the array with array_repeat
-            # + concat, which never reads a null element.
-            vals_list = list(out_vals)
-            nan_ct = sum(1 for v in vals_list if _is_nan(v))
-            data["__out"] = pd.Series(
-                [[v for v in vals_list if not _is_nan(v)]], dtype=object
-            )
-            data["__nan"] = [nan_ct]
+        for ai, (spec, out) in enumerate(zip(specs, outs)):
+            kind = spec["kind"]
+            if kind == "histogram":
+                bk, bc = out
+                data[f"__hk{ai}"] = pd.Series([list(bk)], dtype=object)
+                data[f"__hc{ai}"] = pd.Series([list(bc)], dtype=object)
+            elif kind in COLLECTION_KINDS:
+                # float NaN cannot cross the Arrow output boundary as a
+                # VALUE (from_pandas converts it to null, and Spark's
+                # columnar reader for this operator's output throws on null
+                # array elements under any element-level expression).  Ship
+                # the non-NaN elements plus a NaN count; the JVM side
+                # rebuilds the array with array_repeat + concat.
+                vals_list = list(out)
+                nan_ct = sum(1 for v in vals_list if _is_nan(v))
+                data[f"__out{ai}"] = pd.Series(
+                    [[v for v in vals_list if not _is_nan(v)]], dtype=object
+                )
+                data[f"__nan{ai}"] = [nan_ct]
+            elif kind == "count":
+                data[f"__v{ai}"] = [out[1]]
+            else:  # sum / min / max / avg: value (None when NaN/absent) + n
+                v, n = out
+                data[f"__v{ai}"] = pd.Series(
+                    [None if (v is None or _is_nan(v)) else v], dtype=object
+                )
+                data[f"__n{ai}"] = [n]
         return pd.DataFrame(data)
 
-    def empty() -> "pd.DataFrame":
+    def out_cols() -> list:
         cols = (["window_start", "window_end"] if windowed else []) + [
             f"__k{j}" for j in range(n_keys)
         ]
-        cols += ["__hk", "__hc"] if is_hist else ["__out", "__nan"]
-        return pd.DataFrame({c: [] for c in cols})
+        for ai, spec in enumerate(specs):
+            kind = spec["kind"]
+            if kind == "histogram":
+                cols += [f"__hk{ai}", f"__hc{ai}"]
+            elif kind in COLLECTION_KINDS:
+                cols += [f"__out{ai}", f"__nan{ai}"]
+            elif kind == "count":
+                cols += [f"__v{ai}"]
+            else:
+                cols += [f"__v{ai}", f"__n{ai}"]
+        return cols
+
+    def empty() -> "pd.DataFrame":
+        return pd.DataFrame({c: [] for c in out_cols()})
+
+    def load_state(state: GroupState) -> list:
+        flat = state.get if state.exists else None
+        slots = []
+        pos = 0
+        for spec in specs:
+            kind = spec["kind"]
+            if kind == "histogram":
+                slots.append(
+                    (list(flat[pos]), list(flat[pos + 1]), list(flat[pos + 2]))
+                    if flat
+                    else ([], [], [])
+                )
+                pos += 3
+            elif kind in COLLECTION_KINDS:
+                vals = list(flat[pos]) if flat else []
+                # Arrow/pandas state round-trip stores float NaN as null;
+                # inputs are masked non-null, so any None IS a NaN
+                slots.append([float("nan") if v is None else v for v in vals])
+                pos += 1
+            elif kind == "count":
+                slots.append((None, flat[pos] if flat else 0))
+                pos += 1
+            else:
+                if flat:
+                    v, n = flat[pos], flat[pos + 1]
+                    if v is None and n and spec.get("is_float"):
+                        v = float("nan")
+                    slots.append((v, n))
+                else:
+                    slots.append((None, 0))
+                pos += 2
+        return slots
+
+    def store_state(state: GroupState, slots: list) -> None:
+        flat: list = []
+        for spec, slot in zip(specs, slots):
+            kind = spec["kind"]
+            if kind == "histogram":
+                flat += [slot[0], slot[1], slot[2]]
+            elif kind in COLLECTION_KINDS:
+                flat.append(slot)
+            elif kind == "count":
+                flat.append(slot[1])
+            else:
+                v = slot[0]
+                flat += [None if (v is not None and _is_nan(v)) else v, slot[1]]
+        state.update(tuple(flat))
 
     def func(key, pdf_iter: Iterator, state: GroupState) -> Iterator:
         if state.hasTimedOut:
@@ -208,43 +314,39 @@ def _bounded_func(spec_kind: str, bound: int, buckets: int, n_keys: int, windowe
             yield empty()
             return
 
-        if is_hist:
-            hkeys, hcnts, herrs = state.get if state.exists else ([], [], [])
-        else:
-            (vals,) = state.get if state.exists else ([],)
-            # the Arrow/pandas state round-trip stores float NaN as null
-            # (from_pandas semantics); inputs are null-filtered JVM-side, so
-            # any None here IS a NaN — restore it
-            vals = [float("nan") if v is None else v for v in vals]
-
+        slots = load_state(state)
         touched = False
         for pdf in pdf_iter:
-            # NULLs are filtered JVM-side before the operator, so any float
-            # NaN here is a genuine NaN value — keep it (dropna would drop
-            # it, silently diverging from the batch lowering, which orders
-            # NaN greatest)
-            col = pdf["__a0"]
-            if col.empty:
+            if pdf.empty:
                 continue
             touched = True
-            batch = col.tolist()
-            if spec_kind == "topk":
-                vals = merge_topk(vals, batch, bound, distinct=False)
-            elif spec_kind == "topk_distinct":
-                vals = merge_topk(vals, batch, bound, distinct=True)
-            elif spec_kind in ("collect_list", "collect_set"):
-                vals = merge_collect(vals, batch, bound, is_set=spec_kind == "collect_set")
-            else:
-                counts: dict = {}
-                for v in batch:
-                    s = str(v)
-                    counts[s] = counts.get(s, 0) + 1
-                hkeys, hcnts, herrs = merge_spacesaving(hkeys, hcnts, herrs, counts, bound)
+            for ai, spec in enumerate(specs):
+                kind = spec["kind"]
+                col = pdf[f"__a{ai}"][~pdf[f"__m{ai}"]]
+                if col.empty:
+                    continue
+                batch = col.tolist()
+                if kind == "topk":
+                    slots[ai] = merge_topk(slots[ai], batch, spec["bound"], distinct=False)
+                elif kind == "topk_distinct":
+                    slots[ai] = merge_topk(slots[ai], batch, spec["bound"], distinct=True)
+                elif kind in ("collect_list", "collect_set"):
+                    slots[ai] = merge_collect(
+                        slots[ai], batch, spec["bound"], is_set=kind == "collect_set"
+                    )
+                elif kind == "histogram":
+                    counts: dict = {}
+                    for v in batch:
+                        sv = str(v)
+                        counts[sv] = counts.get(sv, 0) + 1
+                    slots[ai] = merge_spacesaving(*slots[ai], counts, spec["bound"])
+                else:
+                    slots[ai] = _merge_scalar(kind, slots[ai][0], slots[ai][1], batch)
 
         if not touched:
-            # invoked but every row dropped (NULL inputs): Spark clears the
-            # old timeout on each invocation, so re-arm it or the window's
-            # state is never evicted
+            # invoked but no rows (shouldn't happen given the JVM-side
+            # any-input-non-null filter): Spark clears the old timeout on
+            # each invocation, so re-arm it or the window's state leaks
             if windowed and state.exists:
                 wm_ms = state.getCurrentWatermarkMs()
                 we_ms = int(pd.Timestamp(key[1]).value // 1_000_000)
@@ -252,10 +354,7 @@ def _bounded_func(spec_kind: str, bound: int, buckets: int, n_keys: int, windowe
             yield empty()
             return
 
-        if is_hist:
-            state.update((hkeys, hcnts, herrs))
-        else:
-            state.update((vals,))
+        store_state(state, slots)
         if windowed:
             wm_ms = state.getCurrentWatermarkMs()
             # group keys arrive as NAIVE datetimes (session runs in UTC);
@@ -264,17 +363,64 @@ def _bounded_func(spec_kind: str, bound: int, buckets: int, n_keys: int, windowe
             we_ms = int(pd.Timestamp(key[1]).value // 1_000_000)
             state.setTimeoutTimestamp(max(we_ms, wm_ms + 1))
 
-        if is_hist:
-            yield emit(key, hist_top_buckets(hkeys, hcnts, buckets))
-        else:
-            out = (
-                sorted(vals, key=_sort_key)
-                if spec_kind in ("collect_list", "collect_set")
-                else vals
-            )
-            yield emit(key, out)
+        outs = []
+        for spec, slot in zip(specs, slots):
+            kind = spec["kind"]
+            if kind == "histogram":
+                outs.append(hist_top_buckets(slot[0], slot[1], spec["buckets"]))
+            elif kind in ("collect_list", "collect_set"):
+                outs.append(sorted(slot, key=_sort_key))
+            elif kind in COLLECTION_KINDS:
+                outs.append(slot)
+            else:
+                outs.append(slot)
+        yield emit(key, outs)
 
     return func
+
+
+def _spec_of(agg, collect_limit: int, hist_capacity: int | None) -> dict:
+    from ..expr import Avg, Count, Max, Min, Sum
+
+    if isinstance(agg, TopKDistinct):
+        return {"kind": "topk_distinct", "bound": agg.k, "buckets": 0}
+    if isinstance(agg, TopK):
+        return {"kind": "topk", "bound": agg.k, "buckets": 0}
+    if isinstance(agg, Histogram):
+        return {
+            "kind": "histogram",
+            "bound": hist_capacity or max(agg.buckets * 5, 100),
+            "buckets": agg.buckets,
+        }
+    if isinstance(agg, CollectSet):
+        return {"kind": "collect_set", "bound": collect_limit, "buckets": 0}
+    if isinstance(agg, CollectList):
+        if getattr(agg, "order_by", None):
+            raise AnalysisError(
+                "COLLECT_LIST with an explicit order key is not supported in the "
+                "bounded streaming path; use EMIT FINAL or a pull query"
+            )
+        return {"kind": "collect_list", "bound": collect_limit, "buckets": 0}
+    if isinstance(agg, Count):
+        return {"kind": "count", "bound": 0, "buckets": 0}
+    if isinstance(agg, Sum):
+        return {"kind": "sum", "bound": 0, "buckets": 0}
+    if isinstance(agg, Min):
+        return {"kind": "min", "bound": 0, "buckets": 0}
+    if isinstance(agg, Max):
+        return {"kind": "max", "bound": 0, "buckets": 0}
+    if isinstance(agg, Avg):
+        return {"kind": "avg", "bound": 0, "buckets": 0}
+    raise AnalysisError(f"unsupported bounded aggregate {type(agg).__name__}")
+
+
+def _null_default(dtype) -> Column:
+    name = dtype.typeName()
+    if name == "string":
+        return F.lit("")
+    if name == "boolean":
+        return F.lit(False)
+    return F.lit(0).cast(dtype)
 
 
 def bounded_agg_changelog(
@@ -282,38 +428,30 @@ def bounded_agg_changelog(
     ts_col: str | None,
     keys: list[tuple[str, Column]],
     window: WindowSpec | None,
-    agg,
+    aggs,
     collect_limit: int = DEFAULT_COLLECT_LIMIT,
     hist_capacity: int | None = None,
 ) -> DataFrame:
-    """Compile one bounded-state aggregate over a stream under EMIT CHANGES.
+    """Compile the bounded-state aggregates over a stream under EMIT CHANGES.
 
     ``keys`` are (output_name, expression) pairs; ``window`` is a tumbling or
-    hopping spec (or None for a plain grouped table); ``agg`` is the single
-    TopK / TopKDistinct / Histogram / CollectList / CollectSet field.
-    Upstream must already carry the event-time watermark (compile_select
-    applies it before any stateful op).
+    hopping spec (or None for a plain grouped table); ``aggs`` is the list of
+    aggregate fields — any mix of the bounded collection aggregates
+    (TOPK / TOPK_DISTINCT / HISTOGRAM / COLLECT_*) and the O(1)-state
+    scalars (COUNT / SUM / MIN / MAX / AVG), all folded in ONE stateful
+    operator so a mixed query never falls back to the unbounded native
+    collect fold.  Upstream must already carry the event-time watermark
+    (compile_select applies it before any stateful op).
 
-    Output: [window_start, window_end,] <keys...>, <agg output> — the same
-    shape as the native windowed changelog.
+    Output: [window_start, window_end,] <keys...>, <agg outputs...> — the
+    same shape as the native windowed changelog.
     """
-    if isinstance(agg, TopKDistinct):
-        kind, bound = "topk_distinct", agg.k
-    elif isinstance(agg, TopK):
-        kind, bound = "topk", agg.k
-    elif isinstance(agg, Histogram):
-        kind, bound = "histogram", hist_capacity or max(agg.buckets * 5, 100)
-    elif isinstance(agg, CollectSet):
-        kind, bound = "collect_set", collect_limit
-    elif isinstance(agg, CollectList):
-        if getattr(agg, "order_by", None):
-            raise AnalysisError(
-                "COLLECT_LIST with an explicit order key is not supported in the "
-                "bounded streaming path; use EMIT FINAL or a pull query"
-            )
-        kind, bound = "collect_list", collect_limit
-    else:  # pragma: no cover — guarded by the compile-time dispatch
-        raise AnalysisError(f"unsupported bounded aggregate {type(agg).__name__}")
+    from pyspark.sql.types import DoubleType
+
+    if not isinstance(aggs, (list, tuple)):
+        aggs = [aggs]
+    aggs = list(aggs)
+    specs = [_spec_of(a, collect_limit, hist_capacity) for a in aggs]
 
     windowed = window is not None
     if windowed and ts_col is None:
@@ -334,17 +472,28 @@ def bounded_agg_changelog(
     else:
         drop_dummy = False
     cols += [c.alias(f"__k{i}") for i, (_, c) in enumerate(keys)]
-    # HISTOGRAM keys must match the batch lowering bit-for-bit: Spark's
-    # cast-to-string (booleans 'true'/'false', Spark float formatting), not
-    # Python str() — so cast JVM-side before the Arrow boundary
-    agg_in = agg.arg.to_column()
-    if isinstance(agg, Histogram):
-        agg_in = agg_in.cast("string")
-    cols.append(agg_in.alias("__a0"))
-    # aggregates skip NULL inputs; filtering them JVM-side also keeps the
-    # Arrow->pandas transfer on exact dtypes (a nullable int64 batch would
-    # otherwise arrive as float64 and corrupt ids above 2^53)
-    proj = df.select(*cols).filter(F.col("__a0").isNotNull())
+
+    # per-agg input + null mask.  Aggregates skip NULL inputs, but with
+    # multiple aggs a row may be null for one input and not another, so the
+    # old row-level isNotNull filter becomes a per-agg MASK; the value
+    # column is coalesced to a type-true default so the Arrow->pandas
+    # transfer keeps exact dtypes (a nullable int64 batch would otherwise
+    # arrive as float64 and corrupt ids above 2^53).  HISTOGRAM keys must
+    # match the batch lowering bit-for-bit: Spark's cast-to-string, not
+    # Python str(), so the cast happens JVM-side.
+    raw_inputs: list[Column] = []
+    for i, agg in enumerate(aggs):
+        agg_in = agg.arg.to_column()
+        if isinstance(agg, Histogram):
+            agg_in = agg_in.cast("string")
+        raw_inputs.append(agg_in)
+        cols.append(agg_in.isNull().alias(f"__m{i}"))
+        cols.append(F.coalesce(agg_in, _null_default(df.select(agg_in.alias("x")).schema["x"].dataType)).alias(f"__a{i}"))
+
+    keep = raw_inputs[0].isNotNull()
+    for c in raw_inputs[1:]:
+        keep = keep | c.isNotNull()
+    proj = df.select(*cols).filter(F.lit(True) if len(aggs) == 0 else keep)
     if windowed:
         proj = proj.select(
             F.col("__ts"),
@@ -353,7 +502,9 @@ def bounded_agg_changelog(
             *proj.columns[2:],
         )
 
-    val_type = proj.schema["__a0"].dataType
+    val_types = [proj.schema[f"__a{i}"].dataType for i in range(len(aggs))]
+    for spec, vt in zip(specs, val_types):
+        spec["is_float"] = vt.typeName() in ("double", "float")
     key_names = [f"__k{i}" for i in range(len(keys))]
     group_cols = (["__ws", "__we"] if windowed else []) + key_names
 
@@ -363,29 +514,50 @@ def bounded_agg_changelog(
         else []
     )
     key_fields = [StructField(n, proj.schema[n].dataType) for n in key_names]
-    if kind == "histogram":
-        out_fields = [
-            StructField("__hk", ArrayType(StringType())),
-            StructField("__hc", ArrayType(LongType())),
-        ]
-        state_schema = StructType(
-            [
-                StructField("hkeys", ArrayType(StringType())),
-                StructField("hcnts", ArrayType(LongType())),
-                StructField("herrs", ArrayType(LongType())),
+    out_fields: list[StructField] = []
+    state_fields: list[StructField] = []
+    for i, (spec, vt) in enumerate(zip(specs, val_types)):
+        kind = spec["kind"]
+        if kind == "histogram":
+            out_fields += [
+                StructField(f"__hk{i}", ArrayType(StringType())),
+                StructField(f"__hc{i}", ArrayType(LongType())),
             ]
-        )
-    else:
-        out_fields = [
-            StructField("__out", ArrayType(val_type)),
-            StructField("__nan", LongType()),
-        ]
-        state_schema = StructType([StructField("vals", ArrayType(val_type))])
+            state_fields += [
+                StructField(f"hk{i}", ArrayType(StringType())),
+                StructField(f"hc{i}", ArrayType(LongType())),
+                StructField(f"he{i}", ArrayType(LongType())),
+            ]
+        elif kind in COLLECTION_KINDS:
+            out_fields += [
+                StructField(f"__out{i}", ArrayType(vt)),
+                StructField(f"__nan{i}", LongType()),
+            ]
+            state_fields += [StructField(f"vals{i}", ArrayType(vt))]
+        elif kind == "count":
+            out_fields += [StructField(f"__v{i}", LongType())]
+            state_fields += [StructField(f"n{i}", LongType())]
+        else:
+            # SUM widens integrals to long (Spark sum semantics); AVG
+            # accumulates a double sum
+            if kind == "sum":
+                st = DoubleType() if spec["is_float"] else LongType()
+            elif kind == "avg":
+                st = DoubleType()
+            else:
+                st = vt
+            out_fields += [
+                StructField(f"__v{i}", st),
+                StructField(f"__n{i}", LongType()),
+            ]
+            state_fields += [
+                StructField(f"v{i}", st),
+                StructField(f"n{i}", LongType()),
+            ]
     out_schema = StructType(win_fields + key_fields + out_fields)
+    state_schema = StructType(state_fields)
 
-    func = _bounded_func(
-        kind, bound, getattr(agg, "buckets", 0), len(keys), windowed
-    )
+    func = _bounded_func(specs, len(keys), windowed)
     timeout = (
         GroupStateTimeout.EventTimeTimeout if windowed else GroupStateTimeout.NoTimeout
     )
@@ -401,23 +573,50 @@ def bounded_agg_changelog(
         for i, n in enumerate(key_names)
         if not (drop_dummy and keys[i][0] == "__g")
     ]
-    if kind == "histogram":
-        sel.append(
-            F.map_from_arrays(F.col("__hk"), F.col("__hc")).alias(agg.output_name())
-        )
-    elif val_type.typeName() in ("double", "float"):
-        # rebuild the NaN elements shipped as a count (see emit()): NaN is
-        # the greatest double, so it leads a desc top-k and trails an asc
-        # collect — matching the batch lowering's sort exactly
-        nan_arr = F.array_repeat(
-            F.lit(float("nan")).cast(val_type), F.col("__nan").cast("int")
-        )
-        rebuilt = (
-            F.concat(nan_arr, F.col("__out"))
-            if kind in ("topk", "topk_distinct")
-            else F.concat(F.col("__out"), nan_arr)
-        )
-        sel.append(rebuilt.alias(agg.output_name()))
-    else:
-        sel.append(F.col("__out").alias(agg.output_name()))
+    for i, (agg, spec, vt) in enumerate(zip(aggs, specs, val_types)):
+        kind = spec["kind"]
+        name = agg.output_name()
+        if kind == "histogram":
+            sel.append(F.map_from_arrays(F.col(f"__hk{i}"), F.col(f"__hc{i}")).alias(name))
+        elif kind in COLLECTION_KINDS:
+            if spec["is_float"]:
+                # rebuild the NaN elements shipped as a count (see emit()):
+                # NaN is the greatest double, so it leads a desc top-k and
+                # trails an asc collect — matching the batch sort exactly
+                nan_arr = F.array_repeat(
+                    F.lit(float("nan")).cast(vt), F.col(f"__nan{i}").cast("int")
+                )
+                rebuilt = (
+                    F.concat(nan_arr, F.col(f"__out{i}"))
+                    if kind in ("topk", "topk_distinct")
+                    else F.concat(F.col(f"__out{i}"), nan_arr)
+                )
+                sel.append(rebuilt.alias(name))
+            else:
+                sel.append(F.col(f"__out{i}").alias(name))
+        elif kind == "count":
+            sel.append(F.col(f"__v{i}").alias(name))
+        elif kind == "avg":
+            s = F.coalesce(F.col(f"__v{i}"), F.lit(float("nan")))
+            sel.append(
+                F.when(F.col(f"__n{i}") > 0, s / F.col(f"__n{i}"))
+                .otherwise(F.lit(None).cast("double"))
+                .alias(name)
+            )
+        else:  # sum / min / max: NULL when no contributions, NaN restored
+            # a float NaN scalar crossed the boundary as null (from_pandas);
+            # with n>0 contributions the value can only be null if it IS NaN
+            res_type = (
+                (DoubleType() if spec["is_float"] else LongType())
+                if kind == "sum"
+                else vt
+            )
+            base = F.col(f"__v{i}")
+            if spec["is_float"]:
+                base = F.coalesce(base, F.lit(float("nan")).cast(res_type))
+            sel.append(
+                F.when(F.col(f"__n{i}") > 0, base)
+                .otherwise(F.lit(None).cast(res_type))
+                .alias(name)
+            )
     return out.select(*sel)

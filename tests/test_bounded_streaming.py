@@ -432,3 +432,108 @@ def test_having_with_foreign_aggregate_uses_native_fold(spark, events_stream):
     stream_df = compile_select(q, spark=spark, catalog=cat, streaming=True, grace="365 days")
     plan = stream_df._jdf.queryExecution().analyzed().toString()
     assert "FlatMapGroupsInPandasWithState" not in plan
+
+
+def test_mixed_scalar_and_collection_aggs_one_operator(spark, events_stream):
+    """COUNT/SUM/MIN/MAX/AVG ride along the bounded collection aggregates
+    as O(1) state slots in ONE stateful operator — a mixed query must not
+    fall back to the native fold (whose collect state is unbounded), and
+    must equal the batch recompute on every aggregate."""
+    from ksql_spark import Avg, Count, Max, Min, Sum, compile_select
+
+    cat, mgr, batch = events_stream
+    q = (
+        Select(
+            F("user_id"),
+            Count(F("event_id")).Alias("cnt"),
+            Sum(F("value")).Alias("s"),
+            Min(F("value")).Alias("mn"),
+            Max(F("value")).Alias("mx"),
+            Avg(F("value")).Alias("av"),
+            TopK(F("value"), 3).Alias("top"),
+            CollectSet(F("event_type")).Alias("types"),
+        )
+        .From(Schema("ev", STREAM))
+        .GroupBy(F("user_id"))
+        .EmitChanges()
+    )
+    stream_df = compile_select(q, spark=spark, catalog=cat, streaming=True, grace="365 days")
+    plan = stream_df._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandasWithState" in plan
+
+    csas = Create(TABLE, "mixagg").AsSelect(q)
+    mgr.create_as_select(csas, available_now=True)
+    got = {
+        r["user_id"]: (
+            r["cnt"], round(r["s"], 6), r["mn"], r["mx"], round(r["av"], 9),
+            list(r["top"]), list(r["types"]),
+        )
+        for r in cat.read("QUERYABLE_mixagg").collect()
+    }
+    want = {
+        r["user_id"]: (
+            r["cnt"], round(r["s"], 6), r["mn"], r["mx"], round(r["av"], 9),
+            list(r["top"]), list(r["types"]),
+        )
+        for r in batch.groupBy("user_id").agg(
+            Fn.count("event_id").alias("cnt"),
+            Fn.round(Fn.sum("value"), 6).alias("s"),
+            Fn.min("value").alias("mn"),
+            Fn.max("value").alias("mx"),
+            Fn.round(Fn.avg("value"), 9).alias("av"),
+            Fn.slice(Fn.sort_array(Fn.collect_list("value"), asc=False), 1, 3).alias("top"),
+            Fn.sort_array(Fn.collect_set("event_type")).alias("types"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_mixed_agg_null_handling_per_agg(spark, tmp_path):
+    """With multiple aggregates a row may be NULL for one input and not
+    another: each aggregate must skip ITS nulls only (the old row-level
+    filter would drop the whole row).  SUM over zero non-null inputs is
+    NULL, COUNT is 0-excluded-nulls — exactly the batch semantics."""
+    workdir = str(tmp_path / "mx")
+    rows = [
+        (0, 1, None, "a", "2026-01-01 00:00:01"),
+        (1, 1, 5.0, None, "2026-01-01 00:00:02"),
+        (2, 1, 7.0, "b", "2026-01-01 00:00:03"),
+        (3, 2, None, "c", "2026-01-01 00:00:04"),  # user 2: all values NULL
+    ]
+    df = (
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, user_id bigint, value double, event_type string, ts_s string",
+        )
+        .withColumn("ts", Fn.col("ts_s").cast("timestamp"))
+        .drop("ts_s")
+    )
+    df.write.parquet(str(tmp_path / "mxev"))
+    cat = Catalog(spark, root=f"{workdir}/catalog")
+    cat.register_parquet(
+        "mxev", str(tmp_path / "mxev"), ref=STREAM,
+        event_time_col="ts", event_order_cols=["ts", "event_id"],
+    )
+    mgr = PersistentQueryManager(
+        spark, cat, workdir=f"{workdir}/eng", grace="365 days", enable_metrics=False
+    )
+    from ksql_spark import Count, Sum
+
+    csas = Create(TABLE, "mxnull").AsSelect(
+        Select(
+            F("user_id"),
+            Count(F("value")).Alias("cnt_v"),
+            Sum(F("value")).Alias("sum_v"),
+            CollectSet(F("event_type")).Alias("types"),
+        )
+        .From(Schema("mxev", STREAM))
+        .GroupBy(F("user_id"))
+        .EmitChanges()
+    )
+    mgr.create_as_select(csas, available_now=True)
+    got = {
+        r["user_id"]: (r["cnt_v"], r["sum_v"], sorted(r["types"]))
+        for r in cat.read("QUERYABLE_mxnull").collect()
+    }
+    assert got[1] == (2, 12.0, ["a", "b"])
+    assert got[2] == (0, None, ["c"])  # SUM over no non-null inputs is NULL
