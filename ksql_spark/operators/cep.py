@@ -207,3 +207,20 @@ def match_sequence(
             )
         )
     return out
+
+
+def repeat(name: str, pred: Column, n: int) -> list[tuple[str, Column]]:
+    """Quantifier sugar: ``A{n}`` with relaxed contiguity (Flink
+    MATCH_RECOGNIZE's default `A A A` semantics) — n ordered occurrences of
+    the same predicate, expanded to chained steps ``<name>1..<name>n``.
+    Splice into a ``match_sequence`` steps list:
+
+        match_sequence(df, [*repeat("a", pred_a, 3), ("b", pred_b)], ...)
+
+    Strict contiguity (no OTHER event between the occurrences) composes
+    with ``absent``: add an absent leg whose predicate is the negation of
+    the allowed fillers.
+    """
+    if n < 1:
+        raise ValueError("repeat() needs n >= 1")
+    return [(f"{name}{i + 1}", pred) for i in range(n)]

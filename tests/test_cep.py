@@ -435,3 +435,24 @@ def test_streaming_optional_matches_batch(spark, events, tmp_path):
         key=str,
     )
     assert got == want and len(got) == 4
+
+
+def test_repeat_quantifier_expands_to_chained_steps(spark, events):
+    """A{2} then B == three chained steps with relaxed contiguity."""
+    from ksql_spark.operators.cep import repeat
+
+    got = sorted(
+        (r["user_id"], r["a1_id"], r["a2_id"], r["b_id"])
+        for r in match_sequence(
+            events,
+            [*repeat("a", Fn.col("event_type") == "A", 2), ("b", Fn.col("event_type") == "B")],
+            within_seconds=60,
+        ).collect()
+    )
+    # only user 1 has A..A..B in order: A@0, A@20, B@25
+    assert got == [(1, 1, 3, 4)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        repeat("a", Fn.col("event_type") == "A", 0)
