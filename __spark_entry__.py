@@ -1108,6 +1108,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # release the PREVIOUS entry's persisted signature frames: the driver
+    # collects each entry fully before calling the next, so caller-side
+    # cleanup here is safe and bounds the MEMORY_AND_DISK footprint to one
+    # entry (operators themselves never flush the registry — ADVICE r3)
+    from ksql_spark.operators.dedup import cleanup_persisted
+
+    cleanup_persisted()
     from ksql_spark.operators.dedup import ngram_jaccard_pairs
 
     src = _load(spark, sf_dir, "documents")
@@ -1115,6 +1122,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # release the PREVIOUS entry's persisted signature frames: the driver
+    # collects each entry fully before calling the next, so caller-side
+    # cleanup here is safe and bounds the MEMORY_AND_DISK footprint to one
+    # entry (operators themselves never flush the registry — ADVICE r3)
+    from ksql_spark.operators.dedup import cleanup_persisted
+
+    cleanup_persisted()
     from ksql_spark.operators.dedup import minhash_lsh_pairs
 
     src = _load(spark, sf_dir, "documents")
@@ -1124,6 +1138,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # release the PREVIOUS entry's persisted signature frames: the driver
+    # collects each entry fully before calling the next, so caller-side
+    # cleanup here is safe and bounds the MEMORY_AND_DISK footprint to one
+    # entry (operators themselves never flush the registry — ADVICE r3)
+    from ksql_spark.operators.dedup import cleanup_persisted
+
+    cleanup_persisted()
     from ksql_spark.operators.dedup import simhash_pairs_blocked
 
     src = _load(spark, sf_dir, "documents")
@@ -1134,6 +1155,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs -> connected components -> canonical keep/drop: the operator a
     # training-data pipeline actually runs (LSH emits PAIRS; keep decisions
     # need transitive closure).  Oracle: DuckDB recursive-CTE reachability.
+    # release the PREVIOUS entry's persisted signature frames: the driver
+    # collects each entry fully before calling the next, so caller-side
+    # cleanup here is safe and bounds the MEMORY_AND_DISK footprint to one
+    # entry (operators themselves never flush the registry — ADVICE r3)
+    from ksql_spark.operators.dedup import cleanup_persisted
+
+    cleanup_persisted()
     from ksql_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
 
     src = _load(spark, sf_dir, "documents")
@@ -1176,6 +1204,13 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale path: banded hyperplane LSH + exact-cosine verify; oracle is the
     # brute-force recompute — pairs must match exactly (banding recall ~1 at
     # the planted similarity)
+    # release the PREVIOUS entry's persisted signature frames: the driver
+    # collects each entry fully before calling the next, so caller-side
+    # cleanup here is safe and bounds the MEMORY_AND_DISK footprint to one
+    # entry (operators themselves never flush the registry — ADVICE r3)
+    from ksql_spark.operators.dedup import cleanup_persisted
+
+    cleanup_persisted()
     from ksql_spark.operators.dedup import embedding_neardup_pairs_lsh
 
     # r=12 bits/band: P[band collision] at the planted similarity (~0.999)
@@ -1563,6 +1598,13 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost proportional to the delta.  Oracle = brute-force exact-Jaccard
     restricted to pairs with >=1 new doc (same semantic oracle as
     dedup_minhash_lsh)."""
+    # release the PREVIOUS entry's persisted signature frames: the driver
+    # collects each entry fully before calling the next, so caller-side
+    # cleanup here is safe and bounds the MEMORY_AND_DISK footprint to one
+    # entry (operators themselves never flush the registry — ADVICE r3)
+    from ksql_spark.operators.dedup import cleanup_persisted
+
+    cleanup_persisted()
     from ksql_spark.operators.dedup import minhash_index, minhash_lsh_pairs_incremental
 
     docs = _load(spark, sf_dir, "documents")["documents"]
@@ -2080,9 +2122,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_set": q_collect_set,
         "latest_by_offset": q_latest_by_offset,
         "earliest_by_offset": q_earliest_by_offset,
+        # ------------------------- 50-entry line ---------------------------
         "topk": q_topk,
         "topk_distinct": q_topk_distinct,
-        # ------------------------- 50-entry line ---------------------------
         "histogram": q_histogram,
         "window_tumbling": q_window_tumbling,
         "window_hopping": q_window_hopping,

@@ -367,13 +367,12 @@ def compile_select(
             else:
                 proj.append(F.col(f.output_name()))
         df = df.select(*proj)
-        # HAVING as a post-filter on the upsert changelog: for the monotone
-        # predicates these growing aggregates support (e.g. top value >= x,
-        # set size >= n) a group's rows flip false->true at most once, so
-        # the filtered changelog materializes to exactly the batch result —
-        # a group never emits an upsert it later needs retracted.  The gate
-        # (_is_bounded_streaming_agg) guarantees every HAVING agg ref
-        # matches the selected aggregate.
+        # HAVING as a post-filter on the upsert changelog: the gate
+        # (_is_bounded_streaming_agg) admits only MONOTONE predicates
+        # (_monotone_safe_having — e.g. TOPK >= x, COUNT > n, MIN <= x), so
+        # a group flips false->true at most once and the filtered changelog
+        # materializes to exactly the batch result — no upsert ever needs a
+        # retraction.  Every HAVING agg ref matches a selected aggregate.
         if sb.having_exprs:
             h_subs: dict[int, str] = {}
             for cond in sb.having_exprs:
@@ -483,11 +482,55 @@ def _agg_matches(a: AggregateFn, b: AggregateFn) -> bool:
         return False
     if not (isinstance(a.arg, Field) and isinstance(b.arg, Field)):
         return False
+
+    def order_names(x) -> list | None:
+        ob = getattr(x, "order_by", None)
+        if ob is None:
+            return None
+        return [f.name if isinstance(f, Field) else repr(f) for f in ob]
+
     return (
         a.arg.name == b.arg.name
         and getattr(a, "k", None) == getattr(b, "k", None)
         and getattr(a, "buckets", None) == getattr(b, "buckets", None)
+        and order_names(a) == order_names(b)
     )
+
+
+def _monotone_safe_having(expr: Any) -> bool:
+    """True when a HAVING condition can be applied as a post-filter on an
+    UPSERT changelog without ever needing a retraction: per group the
+    predicate may flip false->true at most once.  That holds when every
+    aggregate comparison pairs a monotone aggregate with the right
+    direction — nondecreasing aggregates (COUNT, MAX, TOPK/TOPK_DISTINCT:
+    the desc-sorted array is lexicographically nondecreasing as values
+    arrive) with > / >=, the nonincreasing MIN with < / <= — and
+    conjunctions/disjunctions of such conditions (monotone indicators
+    compose under AND and OR).  Anything else (SUM/AVG with signed inputs,
+    COLLECT arrays, equality, the wrong direction) could flip true->false,
+    leaving a stale upsert in the materialized state, so the query keeps
+    the native fold, which computes HAVING per emission."""
+    from ..expr import Count, Max, Min
+
+    if isinstance(expr, ExpressionList):
+        return all(_monotone_safe_having(e) for e in expr.exprs)
+    if not isinstance(expr, Conditional):
+        return False
+    left_is_agg = isinstance(expr.left, AggregateFn)
+    right_is_agg = isinstance(expr.right, AggregateFn)
+    if not left_is_agg and not right_is_agg:
+        return True  # pure group-key condition: constant per group
+    if left_is_agg and right_is_agg:
+        return False
+    agg = expr.left if left_is_agg else expr.right
+    op = expr.op
+    if right_is_agg:  # literal OP agg — mirror the comparison
+        op = {">": "<", ">=": "<=", "<": ">", "<=": ">="}.get(op, op)
+    if isinstance(agg, (Count, Max, TopK)):  # TopKDistinct subclasses TopK
+        return op in (">", ">=")
+    if isinstance(agg, Min):
+        return op in ("<", "<=")
+    return False
 
 
 def _is_bounded_collection(f: AggregateFn) -> bool:
@@ -530,6 +573,10 @@ def _is_bounded_streaming_agg(sb: SelectBuilder, agg_fields: list) -> bool:
         for cond in sb.having_exprs:
             _collect_aggs(cond, having_aggs)
         if not all(any(_agg_matches(a, f) for f in agg_fields) for a in having_aggs):
+            return False
+        # upsert post-filtering is only retraction-free for monotone
+        # predicates; everything else keeps the native fold
+        if not all(_monotone_safe_having(cond) for cond in sb.having_exprs):
             return False
     return True
 
@@ -593,10 +640,12 @@ def _lower_topk_twolevel(
     val = topk.arg.to_column()
     distinct = isinstance(topk, TopKDistinct)
     key_cols = [F.col(c) for c in _group_names(sb, windowed)]
+    # NULL values are kept through the grouping (filtering them out would
+    # also drop GROUPS whose values are all NULL, which the single-agg
+    # lowering emits with an empty array) and excluded from the final array
+    # below — matching collect_list's skip-nulls semantics exactly
     lvl0 = (
         df.select(*group_cols, val.alias("__tv"))
-        # collect_list skips NULLs in the single-agg lowering; match it
-        .filter(F.col("__tv").isNotNull())
         .groupBy(*key_cols, F.col("__tv"))
         .agg(F.count(F.lit(1)).alias("__tc"))
     )
@@ -616,9 +665,16 @@ def _lower_topk_twolevel(
             ).alias("__partial")
         )
     )
-    # same value -> same salt bucket, so merged structs are already distinct
+    # same value -> same salt bucket, so merged structs are already distinct;
+    # NULL-valued structs sort last under desc order — drop them BEFORE the
+    # slice so a group short of k non-null values still fills correctly
     merged = F.slice(
-        F.sort_array(F.flatten(F.collect_list(F.col("__partial"))), asc=False), 1, topk.k
+        F.filter(
+            F.sort_array(F.flatten(F.collect_list(F.col("__partial"))), asc=False),
+            lambda s: s["v"].isNotNull(),
+        ),
+        1,
+        topk.k,
     )
     if distinct:
         out_expr = F.transform(merged, lambda s: s["v"])

@@ -897,10 +897,12 @@ def connected_components(
     Alternating large-star / small-star rounds (each is a groupBy-min plus a
     hash join — no UDF, no collect, no driver-side graph), converging in
     O(log n) rounds; at convergence the edge set is a star forest pointing
-    every node at its component's minimum id.  Each round materializes the
-    (persisted) edge set and compares a deterministic signature
-    (count + hashsum) to detect the fixed point, so the loop runs exactly as
-    many shuffles as the graph needs.
+    every node at its component's minimum id.  Each round checkpoints the
+    edge set and detects the fixed point EXACTLY — equal row count plus an
+    empty one-sided ``exceptAll`` against the previous round (both sides
+    are distinct sets, so that is set equality; a hash signature could
+    collide and stop early), so the loop runs exactly as many shuffles as
+    the graph needs.
 
     This is the operator every training-data dedup pipeline actually runs:
     LSH emits near-dup PAIRS; keep/drop decisions need transitive closure

@@ -415,11 +415,23 @@ def _spec_of(agg, collect_limit: int, hist_capacity: int | None) -> dict:
 
 
 def _null_default(dtype) -> Column:
+    """A type-true non-null placeholder for masked (NULL) inputs — never
+    aggregated (the mask excludes it), only there to keep Arrow dtypes
+    exact.  DATE/TIMESTAMP/BINARY need literal defaults: ANSI mode rejects
+    the numeric cast for them."""
+    import datetime
+
     name = dtype.typeName()
     if name == "string":
         return F.lit("")
     if name == "boolean":
         return F.lit(False)
+    if name == "date":
+        return F.lit(datetime.date(1970, 1, 1))
+    if name in ("timestamp", "timestamp_ntz"):
+        return F.lit(datetime.datetime(1970, 1, 1)).cast(dtype)
+    if name == "binary":
+        return F.lit(b"")
     return F.lit(0).cast(dtype)
 
 
@@ -490,10 +502,12 @@ def bounded_agg_changelog(
         cols.append(agg_in.isNull().alias(f"__m{i}"))
         cols.append(F.coalesce(agg_in, _null_default(df.select(agg_in.alias("x")).schema["x"].dataType)).alias(f"__a{i}"))
 
+    if not aggs:
+        raise AnalysisError("bounded_agg_changelog requires at least one aggregate")
     keep = raw_inputs[0].isNotNull()
     for c in raw_inputs[1:]:
         keep = keep | c.isNotNull()
-    proj = df.select(*cols).filter(F.lit(True) if len(aggs) == 0 else keep)
+    proj = df.select(*cols).filter(keep)
     if windowed:
         proj = proj.select(
             F.col("__ts"),

@@ -537,3 +537,37 @@ def test_mixed_agg_null_handling_per_agg(spark, tmp_path):
     }
     assert got[1] == (2, 12.0, ["a", "b"])
     assert got[2] == (0, None, ["c"])  # SUM over no non-null inputs is NULL
+
+
+def test_non_monotone_having_falls_back_to_native_fold(spark, events_stream):
+    """A HAVING that could flip true->false (MIN >= x: MIN only decreases)
+    must NOT ride the upsert post-filter — a stale upsert could never be
+    retracted.  The gate keeps the native fold for it."""
+    from ksql_spark import Min, compile_select
+    from ksql_spark.expr import Conditional
+
+    cat, mgr, batch = events_stream
+    q = (
+        Select(F("user_id"), Min(F("value")).Alias("mn"), TopK(F("value"), 3).Alias("tv"))
+        .From(Schema("ev", STREAM))
+        .GroupBy(F("user_id"))
+        .Having(Conditional(Min(F("value")), ">=", 1.0))  # non-monotone direction
+        .EmitChanges()
+    )
+    plan = compile_select(
+        q, spark=spark, catalog=cat, streaming=True, grace="365 days"
+    )._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandasWithState" not in plan
+
+    # the safe direction (MIN <= x: once true, stays true) keeps the bounded op
+    q2 = (
+        Select(F("user_id"), Min(F("value")).Alias("mn"), TopK(F("value"), 3).Alias("tv"))
+        .From(Schema("ev", STREAM))
+        .GroupBy(F("user_id"))
+        .Having(Conditional(Min(F("value")), "<=", 50.0))
+        .EmitChanges()
+    )
+    plan2 = compile_select(
+        q2, spark=spark, catalog=cat, streaming=True, grace="365 days"
+    )._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandasWithState" in plan2

@@ -309,3 +309,27 @@ def test_chunking_plan_no_exchange(spark, sf):
         Fn.col("id").alias("doc_id"), Fn.lit("alpha beta gamma delta").alias("text")
     )
     assert "Exchange" not in plan_of(chunk_documents(docs, chunk_tokens=3, overlap=1))
+
+
+def test_topk_twolevel_keeps_all_null_groups(spark, sf):
+    """A group whose values are all NULL must survive the two-level rewrite
+    with an empty array — exactly what the single-agg lowering emits
+    (collect_list skips nulls but the group row remains)."""
+    from ksql_spark import F, STREAM, Schema, Select, TopK, compile_select
+
+    data = spark.createDataFrame(
+        [(1, 5.0), (1, None), (2, None), (2, None)], "k bigint, v double"
+    )
+    q = (
+        Select(F("k"), TopK(F("v"), 3).Alias("tv"))
+        .From(Schema("t", STREAM))
+        .GroupBy(F("k"))
+        .EmitChanges()
+    )
+    spark.conf.set("spark.ksql.topk.twolevelThresholdBytes", "0")
+    try:
+        two = {r["k"]: list(r["tv"]) for r in compile_select(q, sources={"t": data}).collect()}
+    finally:
+        spark.conf.unset("spark.ksql.topk.twolevelThresholdBytes")
+    single = {r["k"]: list(r["tv"]) for r in compile_select(q, sources={"t": data}).collect()}
+    assert two == single == {1: [5.0], 2: []}
