@@ -571,3 +571,50 @@ def test_non_monotone_having_falls_back_to_native_fold(spark, events_stream):
         q2, spark=spark, catalog=cat, streaming=True, grace="365 days"
     )._jdf.queryExecution().analyzed().toString()
     assert "FlatMapGroupsInPandasWithState" in plan2
+
+
+def test_streaming_multi_agg_kill_resume_exactly_once(spark, events_stream):
+    """The flattened multi-aggregate state tuple (scalar slots + collection
+    arrays) must survive checkpoint recovery: stop mid-stream, resume, every
+    aggregate equals the batch recompute."""
+    import time
+
+    from ksql_spark import Count, Max, Sum
+
+    cat, mgr, batch = events_stream
+    csas = Create(TABLE, "mxr").AsSelect(
+        Select(
+            F("user_id"),
+            Count(F("event_id")).Alias("cnt"),
+            Sum(F("value")).Alias("s"),
+            Max(F("value")).Alias("mx"),
+            TopK(F("value"), 3).Alias("tv"),
+        )
+        .From(Schema("ev", STREAM))
+        .GroupBy(F("user_id"))
+        .EmitChanges()
+    )
+    pq = mgr.create_as_select(csas, available_now=True, await_termination=False)
+    deadline = time.time() + 60
+    while not pq.sink.committed_batches() and time.time() < deadline:
+        time.sleep(0.1)
+    pq.streaming_query.stop()  # hard kill mid-stream
+    pq.streaming_query.awaitTermination()
+    pq.streaming_query = None
+    assert pq.sink.committed_batches(), "no epoch committed before kill"
+
+    mgr.resume("mxr", available_now=True, await_termination=True)
+    got = {
+        r["user_id"]: (r["cnt"], round(r["s"], 6), r["mx"], list(r["tv"]))
+        for r in cat.read("QUERYABLE_mxr").collect()
+    }
+    want = {
+        r["user_id"]: (r["cnt"], round(r["s"], 6), r["mx"], list(r["t"]))
+        for r in batch.groupBy("user_id").agg(
+            Fn.count("event_id").alias("cnt"),
+            Fn.round(Fn.sum("value"), 6).alias("s"),
+            Fn.max("value").alias("mx"),
+            Fn.slice(Fn.sort_array(Fn.collect_list("value"), asc=False), 1, 3).alias("t"),
+        ).collect()
+    }
+    assert got == want  # exactly-once across the restart, all slots recovered
