@@ -2062,42 +2062,45 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate runs the FIRST 50
-    # entries of this dict (CORRECTNESS_r03 == dict head, verified).  Round
-    # 3's last 18 entries therefore never got a driver row; this round they
-    # lead, followed by round 4's 6 new entries, then enough previously
-    # driver-green entries to fill the window.  Entries beyond 50 all have a
-    # green CORRECTNESS_r03 row; the full 74 are re-verified locally every
-    # round (tools/check_correctness.py transcript in BENCH/CORRECTNESS_LOCAL).
+    # entries of this dict.  Round-5 rotation (VERDICT r4 next-step #1): the
+    # 26 entries that only have r03 driver rows lead this round, starting
+    # with text_stats and the dedup family whose code changed *after* their
+    # last driver run (r3 round() -> floor() contract change; persist-scope
+    # and CC-convergence rewrites).  New round-5 entries follow so they get
+    # first-run driver rows, then the cheapest r4-green entries backfill the
+    # window.  Entries beyond 50 all have a green CORRECTNESS_r04 row; the
+    # full registry is re-verified locally every round
+    # (tools/check_correctness.py transcript in BENCH/CORRECTNESS_LOCAL).
     return {
-        # -- never driver-run before r4 (r3 entries 51-68) ------------------
-        "analyzer_rules": q_analyzer_rules,
-        "migrations_lifecycle": q_migrations_lifecycle,
-        "select_once_pull": q_select_once_pull,
-        "select_with_emit": q_select_with_emit,
-        "union": q_union,
-        "union_all": q_union_all,
-        "intersect": q_intersect,
-        "except": q_except,
-        "sample_hash": q_sample_hash,
-        "sample_stratified": q_sample_stratified,
-        "chunk_documents": q_chunk_documents,
-        "cep_match_sequence": q_cep_match_sequence,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_decode": q_multimodal_decode,
-        "embed_lsh_ann": q_embed_lsh_ann,
-        "embed_lsh_ann_batch": q_embed_lsh_ann_batch,
-        "streaming_dedup_ingest": streaming_dedup_ingest,
-        "streaming_cep_sequence": streaming_cep_sequence,
-        # -- new in round 4 -------------------------------------------------
-        "cep_negation": q_cep_negation,
-        "streaming_cep_negation": streaming_cep_negation,
-        "cep_optional": q_cep_optional,
-        "dedup_incremental": q_dedup_incremental,
-        "embed_lsh_ann_served": q_embed_lsh_ann_served,
-        "streaming_topk_having": streaming_topk_having,
-        "streaming_session_final": streaming_session_final,
-        "streaming_multi_agg_changelog": streaming_multi_agg_changelog,
-        # -- driver-green in r3 (cheap re-confirmations fill the window) ----
+        # -- code changed after last driver run (r3) — highest priority -----
+        "text_stats": q_text_stats,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
+        "embed_cosine_topk": q_embed_cosine_topk,
+        "embed_neardup": q_embed_neardup,
+        "embed_neardup_exact": q_embed_neardup_exact,
+        # -- r3-only driver rows, unchanged code ----------------------------
+        "topk": q_topk,
+        "topk_distinct": q_topk_distinct,
+        "histogram": q_histogram,
+        "window_tumbling": q_window_tumbling,
+        "window_hopping": q_window_hopping,
+        "window_session": q_window_session,
+        "streaming_tumbling_changelog": streaming_tumbling_changelog,
+        "streaming_emit_final": streaming_emit_final,
+        "streaming_hopping_changelog": streaming_hopping_changelog,
+        "streaming_session_changelog": streaming_session_changelog,
+        "streaming_stream_stream_join": streaming_stream_stream_join,
+        "streaming_stream_table_join": streaming_stream_table_join,
+        "streaming_topk_changelog": streaming_topk_changelog,
+        "streaming_histogram_changelog": streaming_histogram_changelog,
+        "streaming_collect_set_changelog": streaming_collect_set_changelog,
+        "skew_salted_agg": q_skew_salted_agg,
+        "skew_salted_join": q_skew_salted_join,
+        # -- driver-green in r4 (cheap re-confirmations fill the window) ----
         "filter_project": q_filter_project,
         "filter_in_null": q_filter_in_null,
         "case_when": q_case_when,
@@ -2123,32 +2126,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_by_offset": q_latest_by_offset,
         "earliest_by_offset": q_earliest_by_offset,
         # ------------------------- 50-entry line ---------------------------
-        "topk": q_topk,
-        "topk_distinct": q_topk_distinct,
-        "histogram": q_histogram,
-        "window_tumbling": q_window_tumbling,
-        "window_hopping": q_window_hopping,
-        "window_session": q_window_session,
-        "streaming_tumbling_changelog": streaming_tumbling_changelog,
-        "streaming_emit_final": streaming_emit_final,
-        "streaming_hopping_changelog": streaming_hopping_changelog,
-        "streaming_session_changelog": streaming_session_changelog,
-        "streaming_stream_stream_join": streaming_stream_stream_join,
-        "streaming_stream_table_join": streaming_stream_table_join,
-        "streaming_topk_changelog": streaming_topk_changelog,
-        "streaming_histogram_changelog": streaming_histogram_changelog,
-        "streaming_collect_set_changelog": streaming_collect_set_changelog,
-        "skew_salted_agg": q_skew_salted_agg,
-        "skew_salted_join": q_skew_salted_join,
-        "text_stats": q_text_stats,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_clusters": q_dedup_clusters,
-        "embed_cosine_topk": q_embed_cosine_topk,
-        "embed_neardup": q_embed_neardup,
-        "embed_neardup_exact": q_embed_neardup_exact,
+        "analyzer_rules": q_analyzer_rules,
+        "migrations_lifecycle": q_migrations_lifecycle,
+        "select_once_pull": q_select_once_pull,
+        "select_with_emit": q_select_with_emit,
+        "union": q_union,
+        "union_all": q_union_all,
+        "intersect": q_intersect,
+        "except": q_except,
+        "sample_hash": q_sample_hash,
+        "sample_stratified": q_sample_stratified,
+        "chunk_documents": q_chunk_documents,
+        "cep_match_sequence": q_cep_match_sequence,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_decode": q_multimodal_decode,
+        "embed_lsh_ann": q_embed_lsh_ann,
+        "embed_lsh_ann_batch": q_embed_lsh_ann_batch,
+        "streaming_dedup_ingest": streaming_dedup_ingest,
+        "streaming_cep_sequence": streaming_cep_sequence,
+        "cep_negation": q_cep_negation,
+        "streaming_cep_negation": streaming_cep_negation,
+        "cep_optional": q_cep_optional,
+        "dedup_incremental": q_dedup_incremental,
+        "embed_lsh_ann_served": q_embed_lsh_ann_served,
+        "streaming_topk_having": streaming_topk_having,
+        "streaming_session_final": streaming_session_final,
+        "streaming_multi_agg_changelog": streaming_multi_agg_changelog,
     }
 
 
