@@ -1589,6 +1589,90 @@ def q_cep_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("user_id", "click_id", "purchase_id", "view_id")
 
 
+def q_cep_quantifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP variable quantifier (VERDICT r4 #3): view{2,3} then purchase per
+    user within 24h — 2..3 CONSECUTIVE views (consecutive in the per-user
+    (ts, id) order of view events) whose run and terminal purchase all land
+    within 24h of the run's first view.  Batch lowering is pure algebra:
+    row_number over the view leg, an rn-banded self-join (<= n-m+1 partners
+    per anchor), and a time-banded purchase join (operators/cep_nfa.py) —
+    no UDF, no cartesian.  Oracle = the identical row_number self-join."""
+    from ksql_spark.operators.cep_nfa import match_quantified
+
+    src = _load(spark, sf_dir, "events")
+    return match_quantified(
+        src["events"],
+        ("a", Fn.col("event_type") == "view", 2, 3),
+        ("b", Fn.col("event_type") == "purchase"),
+        within_seconds=86400,
+    ).select(
+        "user_id",
+        "a_first_id",
+        "a_last_id",
+        Fn.col("a_count").cast("long").alias("a_count"),
+        "b_id",
+    )
+
+
+def streaming_cep_quantifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME quantified pattern as a STREAMING job — but ONE
+    applyInPandasWithState NFA state store per key instead of the n chained
+    join stores ``repeat(n)`` would cost (VERDICT r4 #3).  Matches are
+    emitted exactly once when the watermark closes their anchor's 24h
+    window; the per-key state is the bounded event buffer of the active
+    horizon plus a flush cursor (kill/resume covered in
+    tests/test_cep_nfa.py).  Sentinel far-future rows advance the watermark
+    past every anchor's close, standing in for the stream continuing.
+    Oracle = the identical batch recompute."""
+    import datetime
+
+    from ksql_spark.operators.cep_nfa import match_quantified_stream
+    from ksql_spark.streaming.sink import ExactlyOnceParquetSink
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    work = tempfile.mkdtemp(prefix="ksql_driver_cepq_")
+    events = _load(spark, sf_dir, "events")["events"]
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        events = events.withColumn("ts", Fn.col("ts").cast("timestamp"))
+    max_ts = events.agg(Fn.max("ts")).first()[0]
+    far = max_ts + datetime.timedelta(days=365)
+    sentinel = spark.createDataFrame(
+        [(-1, far, -1, "view", 0.0, "{}"), (-2, far, -2, "purchase", 0.0, "{}")],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    events.unionByName(sentinel.select(*events.columns)).write.mode("overwrite").parquet(
+        os.path.join(work, "ev")
+    )
+    src = spark.readStream.schema(events.schema).parquet(os.path.join(work, "ev"))
+    src = src.withWatermark("ts", "30 minutes")
+    m = match_quantified_stream(
+        src,
+        ("a", Fn.col("event_type") == "view", 2, 3),
+        ("b", Fn.col("event_type") == "purchase"),
+        within_seconds=86400,
+    ).filter(Fn.col("user_id") >= 0)
+    sink = ExactlyOnceParquetSink(os.path.join(work, "engine", "cepq"), lineage=False)
+    # one stateful op over a small keyspace: declared parallelism 8 (the
+    # session's 32 would quadruple per-batch store open/commit overhead)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            m.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return sink.read_data(spark).select(
+        "user_id", "a_first_id", "a_last_id", "a_count", "b_id"
+    )
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus dedup (VERDICT r3 #6): 90% of documents are
     pre-indexed (minhash_index — the maintained signature relation); the
@@ -2100,6 +2184,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_collect_set_changelog": streaming_collect_set_changelog,
         "skew_salted_agg": q_skew_salted_agg,
         "skew_salted_join": q_skew_salted_join,
+        # -- new in round 5 -------------------------------------------------
+        "cep_quantifier": q_cep_quantifier,
+        "streaming_cep_quantifier": streaming_cep_quantifier,
         # -- driver-green in r4 (cheap re-confirmations fill the window) ----
         "filter_project": q_filter_project,
         "filter_in_null": q_filter_in_null,
@@ -2123,9 +2210,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_struct": q_select_struct,
         "collect_list": q_collect_list,
         "collect_set": q_collect_set,
+        # ------------------------- 50-entry line ---------------------------
         "latest_by_offset": q_latest_by_offset,
         "earliest_by_offset": q_earliest_by_offset,
-        # ------------------------- 50-entry line ---------------------------
         "analyzer_rules": q_analyzer_rules,
         "migrations_lifecycle": q_migrations_lifecycle,
         "select_once_pull": q_select_once_pull,
@@ -2201,6 +2288,27 @@ def oracle_sql() -> dict[str, str]:
               WHERE v.user_id = c.user_id AND v.event_type = 'view'
                 AND (v.ts > c.ts OR (v.ts = c.ts AND v.event_id > c.event_id))
                 AND (v.ts < p.ts OR (v.ts = p.ts AND v.event_id < p.event_id)))
+    """
+    cep_quantifier_sql = """
+        WITH a AS (
+            SELECT user_id, event_id, ts,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type = 'view'
+        ), b AS (
+            SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+        )
+        SELECT f.user_id,
+               f.event_id AS a_first_id,
+               l.event_id AS a_last_id,
+               (l.rn - f.rn + 1) AS a_count,
+               b.event_id AS b_id
+        FROM a f
+        JOIN a l ON l.user_id = f.user_id
+                AND l.rn - f.rn BETWEEN 1 AND 2
+                AND l.ts <= f.ts + INTERVAL '86400 seconds'
+        JOIN b ON b.user_id = f.user_id
+              AND (b.ts > l.ts OR (b.ts = l.ts AND b.event_id > l.event_id))
+              AND b.ts <= f.ts + INTERVAL '86400 seconds'
     """
     collect_set_sql = """
         SELECT user_id,
@@ -2522,6 +2630,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cep_negation": cep_negation_sql,
         "streaming_cep_negation": cep_negation_sql,
+        "cep_quantifier": cep_quantifier_sql,
+        "streaming_cep_quantifier": cep_quantifier_sql,
         "cep_optional": """
             SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
                    v.event_id AS view_id

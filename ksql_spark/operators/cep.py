@@ -183,6 +183,15 @@ def match_sequence(
             & lower,
             "left_outer",
         ).drop(f"__ok{i}")
+        if out.isStreaming:
+            # the join just added this leg's watermark-tagged ts to the left
+            # side; a SECOND optional/absent leg's outer join again requires
+            # exactly one event-time column on its left (ADVICE r4) — strip
+            # the tag the same way the step chain does, keeping step 0's ts
+            # as the match's sole event time
+            out = out.withColumn(
+                f"{name}_ts", F.col(f"{name}_ts") + F.expr("INTERVAL 0 SECONDS")
+            )
 
     out_names = names + [n for n, _ in optional]
     cols = [F.col("__k0").alias(key_col)]

@@ -562,11 +562,11 @@ def minhash_lsh_pairs_incremental(
     )
     cand = _persist(ni.union(nn).dropDuplicates(["id_l", "id_r"]))
 
-    # verification: re-shingle ONLY candidate docs, fetched via a BROADCAST
-    # of the (small) candidate-id set — the corpus text table is scanned
-    # once with the broadcast filter and never shuffled, keeping the whole
-    # verify phase proportional to the candidate volume rather than the
-    # corpus (the delta-∝-cost claim would otherwise break on the join).
+    # verification: re-shingle ONLY candidate docs, fetched via a semi-join
+    # on the candidate-id set — the corpus text table is scanned once with
+    # the id filter and never shuffled wholesale, keeping the whole verify
+    # phase proportional to the candidate volume rather than the corpus
+    # (the delta-∝-cost claim would otherwise break on the join).
     texts = corpus.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")).unionByName(
         new_df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
     )
@@ -575,8 +575,16 @@ def minhash_lsh_pairs_incremental(
         .union(cand.select(F.col("id_r").alias("id")))
         .distinct()
     )
+    # candidate volume is DATA-DEPENDENT (a hot band_hash in the index can
+    # explode the delta-vs-index join), so the broadcast hint is gated on
+    # the measured id count (cand is already persisted — the count only
+    # materializes work the verify phase needs anyway); past the gate the
+    # join strategy is left to AQE, which sees the real size at runtime
+    # (ADVICE r4: an unconditional F.broadcast can exceed driver memory).
+    n_cand_ids = cand_ids.count()
+    probe = F.broadcast(cand_ids) if n_cand_ids <= 1_000_000 else cand_ids
     sh = _persist(
-        texts.join(F.broadcast(cand_ids), "id").select(
+        texts.join(probe, "id").select(
             "id", word_shingles(F.col("__t"), shingle_n).alias("sh")
         )
     )

@@ -160,12 +160,16 @@ def hist_top_buckets(hkeys: list, hcnts: list, buckets: int) -> tuple[list, list
 # ---------------------------------------------------------------------------
 
 
-def _merge_scalar(kind: str, cur_val, cur_n: int, batch_vals: list):
+def _merge_scalar(kind: str, cur_val, cur_n: int, batch_vals: list, is_float: bool = True):
     """O(1)-state scalar merges (count/sum/min/max/avg-sum).
 
     ``batch_vals`` holds the batch's NON-NULL inputs (per-agg mask applied);
-    integer sums accumulate in Python ints (exact, no silent numpy wrap);
     NaN ordering for min/max matches Spark (NaN is the greatest double).
+    Integral SUM **and AVG** accumulate the exact int sum (ADVICE r4: a
+    double AVG accumulator diverges from Spark's exact long-sum average
+    above 2^53) and raise on int64 overflow — the same failure the native
+    ANSI-mode (Spark 4 default) long sum produces, but with a clear message
+    instead of an Arrow state-store type error.
     """
     n = cur_n + len(batch_vals)
     if kind == "count":
@@ -173,8 +177,14 @@ def _merge_scalar(kind: str, cur_val, cur_n: int, batch_vals: list):
     if kind in ("sum", "avg"):
         s = cur_val
         for v in batch_vals:
-            v = float(v) if kind == "avg" else v
+            v = float(v) if is_float else int(v)
             s = v if s is None else s + v
+        if not is_float and s is not None and not (-(1 << 63) <= s < (1 << 63)):
+            raise ArithmeticError(
+                f"[ARITHMETIC_OVERFLOW] long overflow in streaming {kind.upper()} "
+                f"state (ANSI mode matches the native lowering); cast the input "
+                f"to DOUBLE or aggregate a narrower window"
+            )
         return s, n
     # min / max
     vals = list(batch_vals)
@@ -341,7 +351,9 @@ def _bounded_func(specs: list[dict], n_keys: int, windowed: bool) -> Callable:
                         counts[sv] = counts.get(sv, 0) + 1
                     slots[ai] = merge_spacesaving(*slots[ai], counts, spec["bound"])
                 else:
-                    slots[ai] = _merge_scalar(kind, slots[ai][0], slots[ai][1], batch)
+                    slots[ai] = _merge_scalar(
+                        kind, slots[ai][0], slots[ai][1], batch, spec.get("is_float", True)
+                    )
 
         if not touched:
             # invoked but no rows (shouldn't happen given the JVM-side
@@ -552,12 +564,12 @@ def bounded_agg_changelog(
             out_fields += [StructField(f"__v{i}", LongType())]
             state_fields += [StructField(f"n{i}", LongType())]
         else:
-            # SUM widens integrals to long (Spark sum semantics); AVG
-            # accumulates a double sum
-            if kind == "sum":
+            # SUM widens integrals to long (Spark sum semantics); AVG over
+            # integrals keeps the EXACT long sum in state and casts to
+            # double only at the final division — one rounding, matching
+            # the native Average(Long) bit-for-bit above 2^53 (ADVICE r4)
+            if kind in ("sum", "avg"):
                 st = DoubleType() if spec["is_float"] else LongType()
-            elif kind == "avg":
-                st = DoubleType()
             else:
                 st = vt
             out_fields += [
@@ -611,9 +623,12 @@ def bounded_agg_changelog(
         elif kind == "count":
             sel.append(F.col(f"__v{i}").alias(name))
         elif kind == "avg":
-            s = F.coalesce(F.col(f"__v{i}"), F.lit(float("nan")))
+            base = F.col(f"__v{i}")
+            if spec["is_float"]:
+                # float NaN crossed the boundary as null; n>0 means it IS NaN
+                base = F.coalesce(base, F.lit(float("nan")))
             sel.append(
-                F.when(F.col(f"__n{i}") > 0, s / F.col(f"__n{i}"))
+                F.when(F.col(f"__n{i}") > 0, base.cast("double") / F.col(f"__n{i}"))
                 .otherwise(F.lit(None).cast("double"))
                 .alias(name)
             )

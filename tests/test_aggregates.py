@@ -177,6 +177,23 @@ def test_having_over_aggregate(spark, turns):
     assert got == {"c1": (3,)}
 
 
+def test_having_arithmetic_wrapped_aggregate_batch(spark, turns):
+    """ADVICE r4: _collect_aggs recurses into Arithmetic, so
+    ``HAVING COUNT(x) * 2 > 4`` works on the batch hidden-agg path instead
+    of throwing Spark's aggregate-in-filter AnalysisException."""
+    from ksql_spark.expr import Arithmetic, Conditional
+
+    q = (
+        Select(F("conv_id"), Count(F("turn_idx")).Alias("n"))
+        .From(Schema("t", STREAM))
+        .GroupBy(F("conv_id"))
+        .Having(Conditional(Arithmetic(Count(F("turn_idx")), "*", 2), ">", 4))
+        .EmitChanges()
+    )
+    got = agg(q, turns)
+    assert got == {"c1": (3,)}  # 3*2 > 4; the 2-turn convs fail 2*2 > 4
+
+
 def test_histogram_twolevel_skewed_hot_key(spark):
     # one hot key with many distinct values: the two-level batch path must
     # handle what the O(distinct^2) single-agg fold cannot

@@ -143,11 +143,41 @@ def test_scalar_sum_count_exact_ints(bs):
     v, n = None, 0
     cv, cn = None, 0
     for b in bs:
-        v, n = _merge_scalar("sum", v, n, b)
+        v, n = _merge_scalar("sum", v, n, b, is_float=False)
         _, cn = _merge_scalar("count", cv, cn, b)
     allv = [x for b in bs for x in b]
     assert cn == len(allv)
     assert v == (sum(allv) if allv else None)  # exact Python-int arithmetic
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.lists(st.integers(-(2**55), 2**55), max_size=10), max_size=6))
+def test_scalar_avg_integral_exact_above_2_53(bs):
+    """ADVICE r4: integral AVG keeps the EXACT int sum in state (a running
+    double sum rounds on every add); the final divide is the only rounding,
+    matching Spark's native Average(Long).  Values above 2^53 would drift
+    under a float accumulator."""
+    v, n = None, 0
+    for b in bs:
+        v, n = _merge_scalar("avg", v, n, b, is_float=False)
+    allv = [x for b in bs for x in b]
+    if not allv:
+        assert v is None and n == 0
+        return
+    assert isinstance(v, int) and v == sum(allv)  # exact, no float drift
+
+
+def test_scalar_int_sum_overflow_raises_clear_error():
+    """Int64 overflow in streaming SUM/AVG state raises the ANSI-matching
+    error (ADVICE r4) instead of dying at the Arrow state-store boundary."""
+    import pytest
+
+    v, n = _merge_scalar("sum", None, 0, [2**62, 2**62 - 1], is_float=False)
+    assert v == 2**63 - 1  # at the boundary: fine
+    with pytest.raises(ArithmeticError, match="ARITHMETIC_OVERFLOW"):
+        _merge_scalar("sum", v, n, [1], is_float=False)
+    with pytest.raises(ArithmeticError, match="ARITHMETIC_OVERFLOW"):
+        _merge_scalar("avg", -(2**62), 1, [-(2**62), -1], is_float=False)
 
 
 @settings(max_examples=300, deadline=None)

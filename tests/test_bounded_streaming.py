@@ -414,10 +414,11 @@ def test_having_stays_on_bounded_path_and_matches_batch(spark, events_stream):
     assert got == want
 
 
-def test_having_with_foreign_aggregate_uses_native_fold(spark, events_stream):
-    """A HAVING over a DIFFERENT aggregate still needs the hidden-agg rewrite
-    (one groupBy.agg) — the gate must fall back to the native fold, not
-    silently drop the condition."""
+def test_having_with_foreign_aggregate_hidden_slot(spark, events_stream):
+    """A HAVING over an UNSELECTED bounded aggregate becomes a hidden O(1)
+    state slot inside the bounded operator (VERDICT r4 #2) — the query stays
+    on the bounded path (never the unbounded native fold) and the changelog
+    equals the batch recompute filtered by the same predicate."""
     from ksql_spark import Count, compile_select
     from ksql_spark.expr import Conditional
 
@@ -431,7 +432,23 @@ def test_having_with_foreign_aggregate_uses_native_fold(spark, events_stream):
     )
     stream_df = compile_select(q, spark=spark, catalog=cat, streaming=True, grace="365 days")
     plan = stream_df._jdf.queryExecution().analyzed().toString()
-    assert "FlatMapGroupsInPandasWithState" not in plan
+    assert "FlatMapGroupsInPandasWithState" in plan  # bounded op, hidden slot
+    assert "tv" in stream_df.columns and "__having_0" not in stream_df.columns
+
+    csas = Create(TABLE, "tkhid").AsSelect(q)
+    mgr.create_as_select(csas, available_now=True)
+    got = _rows(cat.read("QUERYABLE_tkhid").select("user_id", Fn.posexplode("tv")))
+    want = _rows(
+        batch.groupBy("user_id")
+        .agg(
+            Fn.slice(Fn.sort_array(Fn.collect_list("value"), asc=False), 1, 3).alias("t"),
+            Fn.count("event_id").alias("__c"),
+        )
+        .filter(Fn.col("__c") > 10)
+        .select("user_id", Fn.posexplode("t"))
+    )
+    assert want, "HAVING fixture is vacuous"
+    assert got == want
 
 
 def test_mixed_scalar_and_collection_aggs_one_operator(spark, events_stream):
@@ -539,11 +556,13 @@ def test_mixed_agg_null_handling_per_agg(spark, tmp_path):
     assert got[2] == (0, None, ["c"])  # SUM over no non-null inputs is NULL
 
 
-def test_non_monotone_having_falls_back_to_native_fold(spark, events_stream):
+def test_non_monotone_having_raises_named_error(spark, events_stream):
     """A HAVING that could flip true->false (MIN >= x: MIN only decreases)
     must NOT ride the upsert post-filter — a stale upsert could never be
-    retracted.  The gate keeps the native fold for it."""
+    retracted.  VERDICT r4 #1: the silent fallback to the unbounded native
+    fold is gone; the query REJECTS with an error naming the predicate."""
     from ksql_spark import Min, compile_select
+    from ksql_spark.errors import AnalysisError
     from ksql_spark.expr import Conditional
 
     cat, mgr, batch = events_stream
@@ -554,10 +573,8 @@ def test_non_monotone_having_falls_back_to_native_fold(spark, events_stream):
         .Having(Conditional(Min(F("value")), ">=", 1.0))  # non-monotone direction
         .EmitChanges()
     )
-    plan = compile_select(
-        q, spark=spark, catalog=cat, streaming=True, grace="365 days"
-    )._jdf.queryExecution().analyzed().toString()
-    assert "FlatMapGroupsInPandasWithState" not in plan
+    with pytest.raises(AnalysisError, match="non-monotone HAVING.*MIN"):
+        compile_select(q, spark=spark, catalog=cat, streaming=True, grace="365 days")
 
     # the safe direction (MIN <= x: once true, stays true) keeps the bounded op
     q2 = (
@@ -571,6 +588,66 @@ def test_non_monotone_having_falls_back_to_native_fold(spark, events_stream):
         q2, spark=spark, catalog=cat, streaming=True, grace="365 days"
     )._jdf.queryExecution().analyzed().toString()
     assert "FlatMapGroupsInPandasWithState" in plan2
+
+
+def test_having_alias_reference_resolves_to_aggregate(spark, events_stream):
+    """ADVICE r4 (medium): ``F("cnt") < 5`` naming a selected COUNT alias is
+    an aggregate comparison, not a per-group-constant condition.  The
+    non-monotone direction must reject; the monotone direction must stay on
+    the bounded path and match the batch recompute."""
+    from ksql_spark import Count, compile_select
+    from ksql_spark.errors import AnalysisError
+    from ksql_spark.expr import Conditional
+
+    cat, mgr, batch = events_stream
+    base = lambda: (  # noqa: E731
+        Select(F("user_id"), Count(F("event_id")).Alias("cnt"), TopK(F("value"), 3).Alias("tv"))
+        .From(Schema("ev", STREAM))
+        .GroupBy(F("user_id"))
+    )
+    q_bad = base().Having(Conditional(F("cnt"), "<", 500)).EmitChanges()
+    with pytest.raises(AnalysisError, match="non-monotone HAVING"):
+        compile_select(q_bad, spark=spark, catalog=cat, streaming=True, grace="365 days")
+
+    q_ok = base().Having(Conditional(F("cnt"), ">", 100)).EmitChanges()
+    stream_df = compile_select(q_ok, spark=spark, catalog=cat, streaming=True, grace="365 days")
+    plan = stream_df._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandasWithState" in plan
+
+    csas = Create(TABLE, "tkalias").AsSelect(q_ok)
+    mgr.create_as_select(csas, available_now=True)
+    got = _rows(cat.read("QUERYABLE_tkalias").select("user_id", "cnt", Fn.posexplode("tv")))
+    want = _rows(
+        batch.groupBy("user_id")
+        .agg(
+            Fn.count("event_id").alias("cnt"),
+            Fn.slice(Fn.sort_array(Fn.collect_list("value"), asc=False), 1, 3).alias("t"),
+        )
+        .filter(Fn.col("cnt") > 100)
+        .select("user_id", "cnt", Fn.posexplode("t"))
+    )
+    assert want, "HAVING fixture is vacuous"
+    assert got == want
+
+
+def test_having_arithmetic_wrapped_aggregate_rejected_streaming(spark, events_stream):
+    """An aggregate hidden inside Arithmetic (``COUNT(x) + 1 > 5``) has
+    unknowable monotonicity on the upsert path — ADVICE r4: it used to pass
+    the gate as a 'pure group-key condition'; it must now reject."""
+    from ksql_spark import Count, compile_select
+    from ksql_spark.errors import AnalysisError
+    from ksql_spark.expr import Arithmetic, Conditional
+
+    cat, mgr, batch = events_stream
+    q = (
+        Select(F("user_id"), TopK(F("value"), 3).Alias("tv"))
+        .From(Schema("ev", STREAM))
+        .GroupBy(F("user_id"))
+        .Having(Conditional(Arithmetic(Count(F("event_id")), "+", 1), ">", 5))
+        .EmitChanges()
+    )
+    with pytest.raises(AnalysisError, match="non-monotone HAVING"):
+        compile_select(q, spark=spark, catalog=cat, streaming=True, grace="365 days")
 
 
 def test_streaming_multi_agg_kill_resume_exactly_once(spark, events_stream):

@@ -437,6 +437,58 @@ def test_streaming_optional_matches_batch(spark, events, tmp_path):
     assert got == want and len(got) == 4
 
 
+def test_streaming_two_optional_legs_matches_batch(spark, events, tmp_path):
+    """ADVICE r4: each optional-leg join adds a watermarked {name}_ts to the
+    left side; without re-stripping the event-time tag the SECOND optional
+    leg's outer join fails at query start (two event-time columns on the
+    left).  Two optional legs must start, run, and equal the batch result."""
+    from ksql_spark.streaming.sink import ExactlyOnceParquetSink
+
+    extra = spark.createDataFrame(
+        [(90, 1, "X", "2024-01-01 00:00:05"), (91, 1, "Y", "2024-01-01 00:00:07")],
+        "event_id bigint, user_id bigint, event_type string, ts_s string",
+    ).select(
+        "event_id", "user_id", "event_type", Fn.col("ts_s").cast("timestamp").alias("ts")
+    )
+    far = "2024-06-01 00:00:00"
+    sent = spark.createDataFrame(
+        [(-1, -1, "A", far), (-2, -2, "B", far), (-3, -3, "X", far), (-4, -4, "Y", far)],
+        "event_id bigint, user_id bigint, event_type string, ts_s string",
+    ).select(
+        "event_id", "user_id", "event_type", Fn.col("ts_s").cast("timestamp").alias("ts")
+    )
+    ev = events.unionByName(extra)
+    path = str(tmp_path / "ev")
+    ev.unionByName(sent).write.parquet(path)
+    opts = [("x", Fn.col("event_type") == "X"), ("y", Fn.col("event_type") == "Y")]
+    src = (
+        spark.readStream.schema(ev.schema).parquet(path).withWatermark("ts", "10 seconds")
+    )
+    m = match_sequence(src, STEPS(), within_seconds=30, optional=opts).select(
+        "user_id", "a_id", "b_id", "x_id", "y_id"
+    )
+    sink = ExactlyOnceParquetSink(str(tmp_path / "sink"), lineage=False)
+    q = (
+        m.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, sink.read_data(spark).collect()), key=str)
+    want = sorted(
+        map(
+            tuple,
+            match_sequence(ev, STEPS(), within_seconds=30, optional=opts)
+            .select("user_id", "a_id", "b_id", "x_id", "y_id")
+            .collect(),
+        ),
+        key=str,
+    )
+    assert got == want and len(got) >= 4
+
+
 def test_repeat_quantifier_expands_to_chained_steps(spark, events):
     """A{2} then B == three chained steps with relaxed contiguity."""
     from ksql_spark.operators.cep import repeat

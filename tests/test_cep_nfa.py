@@ -1,0 +1,281 @@
+"""Variable CEP quantifiers A{m,n} / A{m,} then B (operators/cep_nfa.py).
+
+Three layers: the pure match kernel, the batch banded-join lowering, and
+the single-state-store streaming NFA (incl. kill/resume exactly-once and
+the state bound itself).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as Fn
+
+from ksql_spark.errors import AnalysisError
+from ksql_spark.operators.cep_nfa import (
+    match_quantified,
+    match_quantified_stream,
+    quantified_matches,
+)
+
+US = 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+
+def test_kernel_basic_runs_and_bounds():
+    # A@0, A@10, A@20, B@25 (ids 1..4), within 30s
+    a = [(0, 1), (10 * US, 2), (20 * US, 3)]
+    b = [(25 * US, 4)]
+    got, cur = quantified_matches(a, b, m=2, n=3, within_us=30 * US)
+    # anchors: id1 runs {1,2}->(1,2,2) {1,2,3}->(1,3,3); id2 run {2,3}->(2,3,2)
+    assert sorted(got) == [
+        (1, 2, 2, 4, 0),
+        (1, 3, 3, 4, 0),
+        (2, 3, 2, 4, 10 * US),
+    ]
+    assert cur == (20 * US, 3)
+
+
+def test_kernel_within_bound_prunes_runs_and_terminals():
+    a = [(0, 1), (10 * US, 2), (35 * US, 3)]
+    b = [(38 * US, 4)]
+    # anchor id1 (horizon 30): run {1,2} ok but B@38 outside; {1,2,3} has
+    # last@35 outside.  anchor id2 (horizon 40): run {2,3} last@35 <= 40,
+    # B@38 strictly after and inside -> the only match.
+    got, _ = quantified_matches(a, b, m=2, n=3, within_us=30 * US)
+    assert got == [(2, 3, 2, 4, 10 * US)]
+
+
+def test_kernel_kleene_plus_unbounded_upper():
+    a = [(i * US, i + 1) for i in range(5)]
+    b = [(10 * US, 99)]
+    got, _ = quantified_matches(a, b, m=3, n=None, within_us=60 * US)
+    # runs of length 3..5 from each eligible anchor
+    lens = sorted((f, c) for f, _, c, _, _ in got)
+    assert lens == [(1, 3), (1, 4), (1, 5), (2, 3), (2, 4), (3, 3)]
+
+
+def test_kernel_terminal_strictly_after_last():
+    # B at the same (ts) as last A but smaller id: excluded; larger id: kept
+    a = [(0, 1), (10 * US, 5)]
+    b = [(10 * US, 3), (10 * US, 7)]
+    got, _ = quantified_matches(a, b, m=2, n=2, within_us=30 * US)
+    assert got == [(1, 5, 2, 7, 0)]
+
+
+def test_kernel_cursor_and_close_gate():
+    a = [(0, 1), (10 * US, 2), (50 * US, 3)]
+    b = [(15 * US, 4), (60 * US, 5)]
+    # watermark at 45s: only anchor id1 closes (0+30 <= 45); id2 (10+30=40
+    # <=45) also closes; id3 stays open
+    got, cur = quantified_matches(
+        a, b, m=1, n=2, within_us=30 * US, close_before_us=45 * US
+    )
+    assert cur == (10 * US, 2)
+    assert all(f in (1, 2) for f, *_ in got)
+    # resume from the cursor with a later watermark: id3's matches appear once
+    got2, cur2 = quantified_matches(
+        a, b, m=1, n=2, within_us=30 * US, close_before_us=200 * US, cursor=cur
+    )
+    assert cur2 == (50 * US, 3)
+    assert got2 == [(3, 3, 1, 5, 50 * US)]
+
+
+# ---------------------------------------------------------------------------
+# batch lowering vs kernel (random property check)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def rand_events(spark):
+    rng = random.Random(1234)
+    rows = []
+    eid = 0
+    for uid in range(6):
+        t = 0
+        for _ in range(40):
+            t += rng.randrange(1, 15)
+            rows.append((eid, uid, rng.choice(["A", "A", "B", "C"]), t))
+            eid += 1
+    return (
+        spark.createDataFrame(rows, "event_id bigint, user_id bigint, event_type string, sec bigint")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            (Fn.lit("2024-01-01 00:00:00").cast("timestamp") + Fn.make_interval(secs=Fn.col("sec"))).alias("ts"),
+        )
+    )
+
+
+def _kernel_truth(df, m, n, within_s):
+    rows = df.collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r["user_id"], ([], []))
+        ts_us = int(r["ts"].timestamp() * US)
+        if r["event_type"] == "A":
+            by_key[r["user_id"]][0].append((ts_us, r["event_id"]))
+        if r["event_type"] == "B":
+            by_key[r["user_id"]][1].append((ts_us, r["event_id"]))
+    want = []
+    for uid, (a, b) in by_key.items():
+        got, _ = quantified_matches(sorted(a), sorted(b), m, n, within_s * US)
+        want += [(uid, f, l, c, bid) for f, l, c, bid, _ in got]
+    return sorted(want)
+
+
+@pytest.mark.parametrize("m,n,within", [(2, 4, 40), (1, 2, 25), (3, None, 60)])
+def test_batch_join_lowering_equals_kernel(spark, rand_events, m, n, within):
+    got = sorted(
+        map(
+            tuple,
+            match_quantified(
+                rand_events,
+                ("a", Fn.col("event_type") == "A", m, n),
+                ("b", Fn.col("event_type") == "B"),
+                within_seconds=within,
+            ).collect(),
+        )
+    )
+    assert got == _kernel_truth(rand_events, m, n, within)
+    assert got, "fixture produced no matches — vacuous"
+
+
+def test_bad_bounds_rejected(spark, rand_events):
+    with pytest.raises(AnalysisError):
+        match_quantified(
+            rand_events, ("a", Fn.col("event_type") == "A", 0, 2),
+            ("b", Fn.col("event_type") == "B"), 10,
+        )
+    with pytest.raises(AnalysisError):
+        match_quantified(
+            rand_events, ("a", Fn.col("event_type") == "A", 3, 2),
+            ("b", Fn.col("event_type") == "B"), 10,
+        )
+
+
+# ---------------------------------------------------------------------------
+# streaming NFA
+# ---------------------------------------------------------------------------
+
+
+def _write_stream_fixture(spark, df, path, parts=3):
+    import time
+
+    n = df.count()
+    per = (n + parts - 1) // parts
+    rows = df.orderBy("ts", "event_id").collect()
+    for p in range(parts):
+        chunk = rows[p * per : (p + 1) * per]
+        if not chunk:
+            continue
+        spark.createDataFrame(chunk, df.schema).coalesce(1).write.mode("append").parquet(path)
+        time.sleep(0.05)
+    # far-future sentinel rows on a never-matching key advance the watermark
+    # past every anchor's close
+    sent = spark.createDataFrame(
+        [(-1, -1, "A", "2024-06-01 00:00:00"), (-2, -1, "B", "2024-06-01 00:00:00")],
+        "event_id bigint, user_id bigint, event_type string, ts_s string",
+    ).select("event_id", "user_id", "event_type", Fn.col("ts_s").cast("timestamp").alias("ts"))
+    sent.coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_stream(spark, schema, path, tmp_path, m, n, within, ckpt="ckpt", max_files=None):
+    from ksql_spark.streaming.sink import ExactlyOnceParquetSink
+
+    reader = spark.readStream.schema(schema)
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    src = reader.parquet(path).withWatermark("ts", "5 seconds")
+    out = match_quantified_stream(
+        src,
+        ("a", Fn.col("event_type") == "A", m, n),
+        ("b", Fn.col("event_type") == "B"),
+        within_seconds=within,
+    )
+    sink = ExactlyOnceParquetSink(str(tmp_path / "sink"), lineage=False)
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, sink
+
+
+def test_streaming_nfa_matches_batch(spark, rand_events, tmp_path):
+    path = str(tmp_path / "ev")
+    _write_stream_fixture(spark, rand_events, path)
+    q, sink = _run_stream(spark, rand_events.schema, path, tmp_path, 2, 4, 40)
+    q.awaitTermination()
+    got = sorted(
+        (r["user_id"], r["a_first_id"], r["a_last_id"], r["a_count"], r["b_id"])
+        for r in sink.read_data(spark).collect()
+    )
+    want = _kernel_truth(rand_events, 2, 4, 40)
+    assert got == want and len(got) > 10
+
+
+def test_streaming_nfa_kill_resume_exactly_once(spark, rand_events, tmp_path):
+    """Stop after the first files, resume from checkpoint: the flush cursor
+    recovers and every match is emitted exactly once."""
+    path = str(tmp_path / "ev")
+    _write_stream_fixture(spark, rand_events, path, parts=4)
+
+    q1, sink = _run_stream(
+        spark, rand_events.schema, path, tmp_path, 2, 4, 40, max_files=1
+    )
+    # stop mid-stream (after >= 1 batch, before the final file)
+    import time
+
+    while q1.isActive and not q1.recentProgress:
+        time.sleep(0.2)
+    q1.stop()
+    q1.awaitTermination()
+
+    q2, sink2 = _run_stream(
+        spark, rand_events.schema, path, tmp_path, 2, 4, 40, max_files=None
+    )
+    q2.awaitTermination()
+    got = sorted(
+        (r["user_id"], r["a_first_id"], r["a_last_id"], r["a_count"], r["b_id"])
+        for r in sink2.read_data(spark).collect()
+    )
+    assert got == _kernel_truth(rand_events, 2, 4, 40)  # no dupes, no gaps
+
+
+def test_state_bounded_by_time_window():
+    """The state bound itself: feed a single hot key for many watermark
+    epochs; the retained event buffer never exceeds one within-window of
+    events (eviction keeps only ts >= wm - within)."""
+    a_ev: list = []
+    b_ev: list = []
+    cursor = None
+    within = 30 * US
+    retained_max = 0
+    rng = random.Random(9)
+    t = 0
+    for epoch in range(50):
+        # 20 events per epoch, ~1s apart
+        for _ in range(20):
+            t += rng.randrange(1, 3) * US
+            (a_ev if rng.random() < 0.7 else b_ev).append((t, t))
+        a_ev.sort()
+        b_ev.sort()
+        wm = t - 5 * US
+        _, cursor = quantified_matches(
+            a_ev, b_ev, 2, 4, within, close_before_us=wm, cursor=cursor
+        )
+        keep_from = wm - within
+        a_ev = [e for e in a_ev if e[0] >= keep_from]
+        b_ev = [e for e in b_ev if e[0] >= keep_from]
+        retained_max = max(retained_max, len(a_ev) + len(b_ev))
+    # ~35s of horizon at ~1.5s/event ≈ 24 events; assert well under history
+    assert retained_max < 60, retained_max
