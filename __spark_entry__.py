@@ -1673,6 +1673,66 @@ def streaming_cep_quantifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed STREAM-STREAM join (VERDICT r4 #4): 70% of click/purchase
+    traffic collapses onto one hot key (user_id%10<7 -> key 0 — a
+    deterministic Zipf-ish head), then clicks join purchases on that key
+    within 15 min.  The plain streaming join would pin the hot key's state
+    and probes on one state-store partition; salted_stream_stream_join
+    spreads it over (key, salt) buckets — probe side salted by event_id
+    hash (replay-stable), build side exploded across the 8 salt buckets,
+    the WITHIN bound keeping both sides watermark-evictable.  Result is
+    row-identical to the unsalted join; oracle = the batch SQL join."""
+    from ksql_spark.streaming.sink import ExactlyOnceParquetSink
+    from ksql_spark.streaming.skew import salted_stream_stream_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    work = tempfile.mkdtemp(prefix="ksql_driver_skewjoin_")
+    events = _load(spark, sf_dir, "events")["events"]
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        events = events.withColumn("ts", Fn.col("ts").cast("timestamp"))
+    skew_key = Fn.when(Fn.col("user_id") % 10 < 7, Fn.lit(0)).otherwise(
+        Fn.col("user_id")
+    )
+    events.write.mode("overwrite").parquet(os.path.join(work, "ev"))
+    schema = events.schema
+
+    def leg(event_type: str, id_out: str, ts_out: str):
+        return (
+            spark.readStream.schema(schema)
+            .parquet(os.path.join(work, "ev"))
+            .filter(Fn.col("event_type") == event_type)
+            .select(
+                skew_key.alias("k") if id_out == "l_id" else skew_key.alias("__rk0"),
+                Fn.col("event_id").alias(id_out),
+                Fn.col("ts").alias(ts_out),
+            )
+            .withWatermark(ts_out, "365 days")
+        )
+
+    left = leg("click", "l_id", "l_ts")
+    right = leg("purchase", "r_id", "r_ts").withColumnRenamed("__rk0", "k")
+    joined = salted_stream_stream_join(
+        left, right, key="k", left_ts="l_ts", right_ts="r_ts",
+        within_seconds=900, salt_buckets=8, left_salt_cols=["l_id"],
+    ).select("k", "l_id", "r_id")
+    sink = ExactlyOnceParquetSink(os.path.join(work, "engine", "skewjoin"), lineage=False)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return sink.read_data(spark)
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus dedup (VERDICT r3 #6): 90% of documents are
     pre-indexed (minhash_index — the maintained signature relation); the
@@ -2187,6 +2247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 5 -------------------------------------------------
         "cep_quantifier": q_cep_quantifier,
         "streaming_cep_quantifier": streaming_cep_quantifier,
+        "streaming_skew_salted_join": streaming_skew_salted_join,
         # -- driver-green in r4 (cheap re-confirmations fill the window) ----
         "filter_project": q_filter_project,
         "filter_in_null": q_filter_in_null,
@@ -2209,8 +2270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_lifecycle": q_catalog_lifecycle,
         "select_struct": q_select_struct,
         "collect_list": q_collect_list,
-        "collect_set": q_collect_set,
         # ------------------------- 50-entry line ---------------------------
+        "collect_set": q_collect_set,
         "latest_by_offset": q_latest_by_offset,
         "earliest_by_offset": q_earliest_by_offset,
         "analyzer_rules": q_analyzer_rules,
@@ -2632,6 +2693,21 @@ def oracle_sql() -> dict[str, str]:
         "streaming_cep_negation": cep_negation_sql,
         "cep_quantifier": cep_quantifier_sql,
         "streaming_cep_quantifier": cep_quantifier_sql,
+        "streaming_skew_salted_join": """
+            WITH c AS (
+                SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS k,
+                       event_id AS l_id, ts AS l_ts
+                FROM events WHERE event_type = 'click'
+            ), p AS (
+                SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS k,
+                       event_id AS r_id, ts AS r_ts
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT c.k, c.l_id, p.r_id
+            FROM c JOIN p ON c.k = p.k
+             AND p.r_ts >= c.l_ts
+             AND p.r_ts <= c.l_ts + INTERVAL '900 seconds'
+        """,
         "cep_optional": """
             SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
                    v.event_id AS view_id
