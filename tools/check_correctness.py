@@ -67,6 +67,14 @@ def main():
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    # per-entry source-version hash (VERDICT r4 #7): lets the judge match a
+    # transcript line to the exact entry+operator source it verified
+    try:
+        from tools.entry_versions import current_hashes
+
+        vhash = current_hashes()
+    except Exception:  # noqa: BLE001
+        vhash = {}
     failures = []
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
@@ -81,7 +89,10 @@ def main():
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in oracles:
-            print(f"pass* {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            print(
+                f"pass* {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s) "
+                f"[v={vhash.get(name, '?')}]"
+            )
             if len(srows) == 0:
                 failures.append(name)
                 print(f"FAIL  {name}: zero rows")
@@ -110,7 +121,10 @@ def main():
                 diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 print(f"FAIL  {name}: value mismatch; first diffs: {diff}")
         if ok:
-            print(f"pass  {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            print(
+                f"pass  {name} ({len(srows)} rows, {time.time()-t0:.1f}s) "
+                f"[v={vhash.get(name, '?')}]"
+            )
         else:
             failures.append(name)
 
