@@ -1673,6 +1673,59 @@ def streaming_cep_quantifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_cep_repeat4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``repeat()`` at n=4 (VERDICT r4 #8): view view view view purchase per
+    user within 2 days, through the CHAINED-JOIN lowering — 4 stateful
+    stream-stream joins in series, one state store each.  This entry keeps
+    the linear-in-n chained cost visible in bench next to the O(1)-store
+    NFA twin (streaming_cep_quantifier); the NFA is the scale path, this is
+    the fixed-n relaxed-contiguity (all ordered 4-subsets) semantics
+    ``repeat`` documents.  Oracle = the 5-way ordered self-join."""
+    import datetime
+
+    from ksql_spark.operators.cep import match_sequence, repeat
+    from ksql_spark.streaming.sink import ExactlyOnceParquetSink
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    work = tempfile.mkdtemp(prefix="ksql_driver_cepr4_")
+    events = _load(spark, sf_dir, "events")["events"]
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        events = events.withColumn("ts", Fn.col("ts").cast("timestamp"))
+    max_ts = events.agg(Fn.max("ts")).first()[0]
+    far = max_ts + datetime.timedelta(days=365)
+    sentinel = spark.createDataFrame(
+        [(-1, far, -1, "view", 0.0, "{}"), (-2, far, -2, "purchase", 0.0, "{}")],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    events.unionByName(sentinel.select(*events.columns)).write.mode("overwrite").parquet(
+        os.path.join(work, "ev")
+    )
+    src = spark.readStream.schema(events.schema).parquet(os.path.join(work, "ev"))
+    src = src.withWatermark("ts", "30 minutes")
+    m = match_sequence(
+        src,
+        [*repeat("a", Fn.col("event_type") == "view", 4),
+         ("b", Fn.col("event_type") == "purchase")],
+        within_seconds=172800,
+    ).select("user_id", "a1_id", "a2_id", "a3_id", "a4_id", "b_id")
+    sink = ExactlyOnceParquetSink(os.path.join(work, "engine", "cepr4"), lineage=False)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            m.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return sink.read_data(spark)
+
+
 def streaming_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skewed STREAM-STREAM join (VERDICT r4 #4): 70% of click/purchase
     traffic collapses onto one hot key (user_id%10<7 -> key 0 — a
@@ -2248,6 +2301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_quantifier": q_cep_quantifier,
         "streaming_cep_quantifier": streaming_cep_quantifier,
         "streaming_skew_salted_join": streaming_skew_salted_join,
+        "streaming_cep_repeat4": streaming_cep_repeat4,
         # -- driver-green in r4 (cheap re-confirmations fill the window) ----
         "filter_project": q_filter_project,
         "filter_in_null": q_filter_in_null,
@@ -2269,8 +2323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddl_insert_roundtrip": q_ddl_insert_roundtrip,
         "catalog_lifecycle": q_catalog_lifecycle,
         "select_struct": q_select_struct,
-        "collect_list": q_collect_list,
         # ------------------------- 50-entry line ---------------------------
+        "collect_list": q_collect_list,
         "collect_set": q_collect_set,
         "latest_by_offset": q_latest_by_offset,
         "earliest_by_offset": q_earliest_by_offset,
@@ -2693,6 +2747,27 @@ def oracle_sql() -> dict[str, str]:
         "streaming_cep_negation": cep_negation_sql,
         "cep_quantifier": cep_quantifier_sql,
         "streaming_cep_quantifier": cep_quantifier_sql,
+        "streaming_cep_repeat4": """
+            WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+                 p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+            SELECT a1.user_id,
+                   a1.event_id AS a1_id, a2.event_id AS a2_id,
+                   a3.event_id AS a3_id, a4.event_id AS a4_id,
+                   b.event_id AS b_id
+            FROM v a1
+            JOIN v a2 ON a2.user_id = a1.user_id
+             AND (a2.ts > a1.ts OR (a2.ts = a1.ts AND a2.event_id > a1.event_id))
+             AND a2.ts >= a1.ts AND a2.ts <= a1.ts + INTERVAL '172800 seconds'
+            JOIN v a3 ON a3.user_id = a1.user_id
+             AND (a3.ts > a2.ts OR (a3.ts = a2.ts AND a3.event_id > a2.event_id))
+             AND a3.ts >= a1.ts AND a3.ts <= a1.ts + INTERVAL '172800 seconds'
+            JOIN v a4 ON a4.user_id = a1.user_id
+             AND (a4.ts > a3.ts OR (a4.ts = a3.ts AND a4.event_id > a3.event_id))
+             AND a4.ts >= a1.ts AND a4.ts <= a1.ts + INTERVAL '172800 seconds'
+            JOIN p b ON b.user_id = a1.user_id
+             AND (b.ts > a4.ts OR (b.ts = a4.ts AND b.event_id > a4.event_id))
+             AND b.ts >= a1.ts AND b.ts <= a1.ts + INTERVAL '172800 seconds'
+        """,
         "streaming_skew_salted_join": """
             WITH c AS (
                 SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS k,

@@ -46,6 +46,10 @@ HEADLINE = [
     "streaming_cep_sequence",
     "cep_negation",
     "streaming_cep_negation",
+    "cep_quantifier",
+    "streaming_cep_quantifier",
+    "streaming_cep_repeat4",
+    "streaming_skew_salted_join",
     "streaming_topk_having",
     "streaming_session_final",
     "streaming_multi_agg_changelog",

@@ -105,6 +105,15 @@ def match_sequence(
             (F.col("__k0") == F.col(f"__k{i}")) & order & bound & lower,
             "inner",
         ).drop(f"__k{i}")
+        if out.isStreaming:
+            # the join's left side must carry exactly ONE event-time column
+            # into the NEXT stateful join (Spark rejects two watermarked
+            # columns per stream once chains grow past two steps).  Strip
+            # the tag off the step just joined — step 0 stays the match's
+            # sole event time; every join's cleanup bound is anchored on it.
+            out = out.withColumn(
+                f"{name}_ts", F.col(f"{name}_ts") + F.expr("INTERVAL 0 SECONDS")
+            )
 
     # negation legs: NO matching event strictly between the first and last
     # step (strict (ts, id) order on both ends).  LEFT OUTER + IS NULL is the
@@ -229,6 +238,12 @@ def repeat(name: str, pred: Column, n: int) -> list[tuple[str, Column]]:
     Strict contiguity (no OTHER event between the occurrences) composes
     with ``absent``: add an absent leg whose predicate is the negation of
     the allowed fillers.
+
+    PRACTICAL BOUND: each expanded step is another stateful join — n state
+    stores in series on a stream (streaming_cep_repeat4 measures n=4 in
+    bench).  For n > ~4, or for variable bounds A{m,n} / A{m,}, use
+    ``cep_nfa.match_quantified(_stream)`` — one state store regardless of
+    the quantifier, with consecutive-run semantics.
     """
     if n < 1:
         raise ValueError("repeat() needs n >= 1")

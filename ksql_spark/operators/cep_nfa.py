@@ -194,9 +194,6 @@ def _check_bounds(m: int, n: int | None) -> None:
 # streaming lowering: one NFA state store
 # ---------------------------------------------------------------------------
 
-_OUT_SUFFIX = ("_first_id", "_last_id", "_count")
-
-
 def _nfa_func(m: int, n: int | None, within_us: int, a_name: str, b_name: str):
     import pandas as pd  # noqa: PLC0415 — executor-side import
 
