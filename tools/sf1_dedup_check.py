@@ -124,8 +124,13 @@ def main() -> None:
     n_docs = docs.count()
     print(f"expanded corpus: {n_docs} docs -> {work}", flush=True)
 
-    # 1. LSH over the FULL 50k corpus; replica-0 slice must equal the
-    # exhaustive twin on the 5k originals, and no pair may cross replicas
+    # 1. LSH over the FULL 50k corpus vs the exhaustive twin on the
+    # replica-{0,1} slice (10k docs).  The two-replica slice is the truth
+    # set that also contains CROSS-replica near-dups: a doc whose tokens
+    # all escape the rewrite is IDENTICAL in every replica (Jaccard 1.0
+    # cross pairs are genuine — the first run of this check proved it:
+    # exactly C(10,2)=45 cross pairs from one rewrite-invariant doc), so
+    # cross pairs are verified against ground truth, not forbidden.
     t0 = time.time()
     with dd.persist_scope():
         lsh_full = sorted(
@@ -137,21 +142,23 @@ def main() -> None:
             )
         )
     cross = [t for t in lsh_full if t[0] // RID != t[1] // RID]
-    r0 = [t for t in lsh_full if t[0] < RID and t[1] < RID]
+    slice01 = [t for t in lsh_full if t[0] < 2 * RID and t[1] < 2 * RID]
     with dd.persist_scope():
-        bf0 = sorted(
+        bf01 = sorted(
             map(
                 tuple,
-                dd.ngram_jaccard_pairs(docs01, shingle_n=3, threshold=0.7).collect(),
+                dd.ngram_jaccard_pairs(
+                    docs.filter(F.col("doc_id") < 2 * RID), shingle_n=3, threshold=0.7
+                ).collect(),
             )
         )
     check(
-        "lsh50k_replica0_vs_exact",
-        r0 == bf0 and not cross,
+        "lsh50k_replica01_vs_exact",
+        slice01 == bf01,
         {
             "pairs_50k": len(lsh_full),
-            "replica0_pairs": len(r0),
-            "exact_pairs": len(bf0),
+            "slice01_pairs": len(slice01),
+            "exact_pairs": len(bf01),
             "cross_replica_pairs": len(cross),
             "sec": round(time.time() - t0, 1),
         },
@@ -161,7 +168,7 @@ def main() -> None:
     # rewrite is a bijection — Jaccard values are preserved exactly)
     t0 = time.time()
     per_replica_ok = True
-    base_set = {(a, b) for a, b, _ in bf0}
+    base_set = {(a, b) for a, b, _ in bf01 if a < RID and b < RID}
     for r in range(1, REPLICAS):
         rset = {
             (a - r * RID, b - r * RID)
