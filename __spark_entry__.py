@@ -1726,6 +1726,87 @@ def streaming_cep_repeat4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read_data(spark)
 
 
+_PATTERN_LEGS = None  # built lazily (needs Fn at import of entry fns)
+
+
+def _pattern_legs():
+    return [
+        ("v", Fn.col("event_type") == "view", 1, 2),
+        ("c", Fn.col("event_type") == "click", 1, 1),
+        ("p", Fn.col("event_type") == "purchase", 1, 1),
+    ]
+
+
+def q_cep_pattern_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-leg quantified CEP pattern: view{1,2} click purchase per user
+    within 24h — every leg is a consecutive run of its own predicate
+    subsequence, legs strictly ordered by (ts, id), everything within 24h
+    of the first view.  Batch lowering is the general banded-join algebra
+    (operators/cep_nfa.py match_pattern): per-quantified-leg rn self-join +
+    chained ordered joins, no UDF.  Oracle = the identical row_number
+    self-join chain."""
+    from ksql_spark.operators.cep_nfa import match_pattern
+
+    src = _load(spark, sf_dir, "events")
+    return match_pattern(src["events"], _pattern_legs(), within_seconds=86400).select(
+        "user_id", "v_first_id", "v_last_id", "v_count", "c_id", "p_id"
+    )
+
+
+def streaming_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME 3-leg pattern on a stream — ONE applyInPandasWithState
+    store for the whole pattern (per-key state: per-leg event buffers of
+    the active 24h horizon + a flush cursor), versus one state store per
+    step for the chained-join lowering.  Exactly-once flush at anchor
+    close; sentinels advance the watermark.  Oracle = the batch twin."""
+    import datetime
+
+    from ksql_spark.operators.cep_nfa import match_pattern_stream
+    from ksql_spark.streaming.sink import ExactlyOnceParquetSink
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    work = tempfile.mkdtemp(prefix="ksql_driver_ceppat_")
+    events = _load(spark, sf_dir, "events")["events"]
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        events = events.withColumn("ts", Fn.col("ts").cast("timestamp"))
+    max_ts = events.agg(Fn.max("ts")).first()[0]
+    far = max_ts + datetime.timedelta(days=365)
+    sentinel = spark.createDataFrame(
+        [
+            (-1, far, -1, "view", 0.0, "{}"),
+            (-2, far, -2, "click", 0.0, "{}"),
+            (-3, far, -3, "purchase", 0.0, "{}"),
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    events.unionByName(sentinel.select(*events.columns)).write.mode("overwrite").parquet(
+        os.path.join(work, "ev")
+    )
+    src = spark.readStream.schema(events.schema).parquet(os.path.join(work, "ev"))
+    src = src.withWatermark("ts", "30 minutes")
+    m = match_pattern_stream(src, _pattern_legs(), within_seconds=86400).filter(
+        Fn.col("user_id") >= 0
+    )
+    sink = ExactlyOnceParquetSink(os.path.join(work, "engine", "ceppat"), lineage=False)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            m.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return sink.read_data(spark).select(
+        "user_id", "v_first_id", "v_last_id", "v_count", "c_id", "p_id"
+    )
+
+
 def streaming_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skewed STREAM-STREAM join (VERDICT r4 #4): 70% of click/purchase
     traffic collapses onto one hot key (user_id%10<7 -> key 0 — a
@@ -2308,6 +2389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cep_quantifier": streaming_cep_quantifier,
         "streaming_skew_salted_join": streaming_skew_salted_join,
         "streaming_cep_repeat4": streaming_cep_repeat4,
+        "cep_pattern_multi": q_cep_pattern_multi,
+        "streaming_cep_pattern": streaming_cep_pattern,
         # -- driver-green in r4 (cheap re-confirmations fill the window) ----
         "filter_project": q_filter_project,
         "filter_in_null": q_filter_in_null,
@@ -2327,9 +2410,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "bool_ops": q_bool_ops,
         "ddl_insert_roundtrip": q_ddl_insert_roundtrip,
+        # ------------------------- 50-entry line ---------------------------
         "catalog_lifecycle": q_catalog_lifecycle,
         "select_struct": q_select_struct,
-        # ------------------------- 50-entry line ---------------------------
         "collect_list": q_collect_list,
         "collect_set": q_collect_set,
         "latest_by_offset": q_latest_by_offset,
@@ -2430,6 +2513,27 @@ def oracle_sql() -> dict[str, str]:
         JOIN b ON b.user_id = f.user_id
               AND (b.ts > l.ts OR (b.ts = l.ts AND b.event_id > l.event_id))
               AND b.ts <= f.ts + INTERVAL '86400 seconds'
+    """
+    cep_pattern_multi_sql = """
+        WITH v AS (
+            SELECT user_id, event_id, ts,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type = 'view'
+        ), c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+           p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+        SELECT f.user_id,
+               f.event_id AS v_first_id, l.event_id AS v_last_id,
+               (l.rn - f.rn + 1) AS v_count,
+               c.event_id AS c_id, p.event_id AS p_id
+        FROM v f
+        JOIN v l ON l.user_id = f.user_id AND l.rn - f.rn BETWEEN 0 AND 1
+                AND l.ts <= f.ts + INTERVAL '86400 seconds'
+        JOIN c ON c.user_id = f.user_id
+              AND (c.ts > l.ts OR (c.ts = l.ts AND c.event_id > l.event_id))
+              AND c.ts <= f.ts + INTERVAL '86400 seconds'
+        JOIN p ON p.user_id = f.user_id
+              AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+              AND p.ts <= f.ts + INTERVAL '86400 seconds'
     """
     collect_set_sql = """
         SELECT user_id,
@@ -2753,6 +2857,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_cep_negation": cep_negation_sql,
         "cep_quantifier": cep_quantifier_sql,
         "streaming_cep_quantifier": cep_quantifier_sql,
+        "cep_pattern_multi": cep_pattern_multi_sql,
+        "streaming_cep_pattern": cep_pattern_multi_sql,
         "streaming_cep_repeat4": """
             WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
                  p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')

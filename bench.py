@@ -48,6 +48,8 @@ HEADLINE = [
     "streaming_cep_negation",
     "cep_quantifier",
     "streaming_cep_quantifier",
+    "cep_pattern_multi",
+    "streaming_cep_pattern",
     "streaming_cep_repeat4",
     "streaming_skew_salted_join",
     "streaming_topk_having",

@@ -1,10 +1,11 @@
-"""CEP variable quantifiers: ``A{m,n}`` / ``A{m,}`` (Kleene-plus) then B.
+"""CEP variable quantifiers: multi-leg ``L0{m0,n0} L1{m1,n1} ...`` patterns
+(``A{m,n}`` / ``A{m,}`` Kleene-plus then B is the two-leg special case).
 
 ``cep.repeat()`` expands a FIXED ``A{n}`` into n chained stateful joins —
 n state stores in series, linear cost in n (VERDICT r4 #3: already 7.6 s at
 3 stores).  This module is the scale path for VARIABLE quantifiers: one
 run-length-window operator whose per-key state is a single bounded event
-buffer, independent of n.
+buffer, independent of leg count or quantifier bounds.
 
 Semantics (ours to own — the reference, gulfstream-h/ksql, has no CEP
 surface at all; Flink MATCH_RECOGNIZE is the inspiration):
@@ -61,6 +62,73 @@ from ..errors import AnalysisError
 # ---------------------------------------------------------------------------
 
 
+def pattern_matches(
+    leg_events: list[list[tuple[int, int]]],
+    bounds: list[tuple[int, int | None]],
+    within_us: int,
+    close_before_us: int | None = None,
+    cursor: tuple[int, int] | None = None,
+) -> tuple[list[tuple], tuple[int, int] | None]:
+    """All matches of a multi-leg quantified pattern ``L0{m0,n0} L1{m1,n1}
+    ...`` over per-leg sorted (ts_us, id) event lists.
+
+    Each leg matches a run of ``m..n`` CONSECUTIVE events of its own list
+    (``n=None`` = unbounded upper); leg i+1's run starts strictly after leg
+    i's last element in (ts, id) order; every element lands within
+    ``within_us`` of the match's anchor (leg 0's first element).
+
+    Returns (matches, new_cursor): each match is
+    ``((first_id, last_id, count) per leg ..., anchor_ts_us)``.  Only
+    anchors strictly after ``cursor`` and (when ``close_before_us`` is
+    given) with ``anchor_ts + within <= close_before_us`` are processed —
+    the streaming flush contract; batch passes ``close_before_us=None``.
+    """
+    out: list[tuple] = []
+    new_cursor = cursor
+    leg0 = leg_events[0]
+    m0, n0 = bounds[0]
+
+    def rec(
+        leg_idx: int, start_after: tuple[int, int], horizon: int, acc: list, anchor_ts: int
+    ) -> None:
+        evs = leg_events[leg_idx]
+        m, n = bounds[leg_idx]
+        lo = bisect.bisect_right(evs, start_after)
+        for j in range(lo, len(evs)):
+            f_ts, f_id = evs[j]
+            if f_ts > horizon:
+                break
+            max_len = len(evs) - j if n is None else min(n, len(evs) - j)
+            for run_len in range(m, max_len + 1):
+                l_ts, l_id = evs[j + run_len - 1]
+                if l_ts > horizon:
+                    break
+                nxt = acc + [(f_id, l_id, run_len)]
+                if leg_idx + 1 == len(leg_events):
+                    out.append(tuple(nxt) + (anchor_ts,))
+                else:
+                    rec(leg_idx + 1, (l_ts, l_id), horizon, nxt, anchor_ts)
+
+    for i, (a_ts, a_id) in enumerate(leg0):
+        if cursor is not None and (a_ts, a_id) <= cursor:
+            continue
+        if close_before_us is not None and a_ts + within_us > close_before_us:
+            break  # sorted: every later anchor is open too
+        horizon = a_ts + within_us
+        max_len0 = len(leg0) - i if n0 is None else min(n0, len(leg0) - i)
+        for run_len in range(m0, max_len0 + 1):
+            l_ts, l_id = leg0[i + run_len - 1]
+            if l_ts > horizon:
+                break
+            head = (a_id, l_id, run_len)
+            if len(leg_events) == 1:
+                out.append((head, a_ts))
+            else:
+                rec(1, (l_ts, l_id), horizon, [head], a_ts)
+        new_cursor = (a_ts, a_id)
+    return out, new_cursor
+
+
 def quantified_matches(
     a_events: list[tuple[int, int]],
     b_events: list[tuple[int, int]],
@@ -72,32 +140,14 @@ def quantified_matches(
 ) -> tuple[list[tuple[int, int, int, int, int]], tuple[int, int] | None]:
     """All ``A{m,n}``-then-B matches over sorted (ts_us, id) event lists.
 
-    Returns (matches, new_cursor) where each match is
-    (a_first_id, a_last_id, a_count, b_id, a_first_ts_us).  Only anchors
-    strictly after ``cursor`` and (when ``close_before_us`` is given) with
-    ``anchor_ts + within <= close_before_us`` are processed — the streaming
-    flush contract; batch passes ``close_before_us=None`` to flush all.
+    Two-leg wrapper over :func:`pattern_matches`; each match is
+    (a_first_id, a_last_id, a_count, b_id, a_first_ts_us).
     """
-    out: list[tuple[int, int, int, int, int]] = []
-    new_cursor = cursor
-    for i, (a_ts, a_id) in enumerate(a_events):
-        if cursor is not None and (a_ts, a_id) <= cursor:
-            continue
-        if close_before_us is not None and a_ts + within_us > close_before_us:
-            break  # sorted: every later anchor is open too
-        horizon = a_ts + within_us
-        max_len = len(a_events) - i if n is None else min(n, len(a_events) - i)
-        for run_len in range(m, max_len + 1):
-            last_ts, last_id = a_events[i + run_len - 1]
-            if last_ts > horizon:
-                break
-            # terminal strictly after the run's last element, inside horizon
-            lo = bisect.bisect_right(b_events, (last_ts, last_id))
-            for b_ts, b_id in b_events[lo:]:
-                if b_ts > horizon:
-                    break
-                out.append((a_id, last_id, run_len, b_id, a_ts))
-        new_cursor = (a_ts, a_id)
+    raw, new_cursor = pattern_matches(
+        [a_events, b_events], [(m, n), (1, 1)], within_us,
+        close_before_us=close_before_us, cursor=cursor,
+    )
+    out = [(f0, l0, c0, f1, a_ts) for (f0, l0, c0), (f1, _l1, _c1), a_ts in raw]
     return out, new_cursor
 
 
@@ -125,61 +175,15 @@ def match_quantified(
     quantified leg, then two banded joins — rn-banded self-join (at most
     ``n-m+1`` partners per anchor) and a time-banded terminal join.  All
     codegen'd; scales like the LSH bucket joins, not like a cartesian.
+    Two-leg wrapper over :func:`match_pattern`.
     """
-    a_name, a_pred, m, n = quant
-    b_name, b_pred = terminal
-    _check_bounds(m, n)
-
-    w = Window.partitionBy("__k").orderBy("__ts", "__id")
-    a = (
-        df.filter(a_pred)
-        .select(
-            F.col(key_col).alias("__k"),
-            F.col(ts_col).alias("__ts"),
-            F.col(id_col).alias("__id"),
-        )
-        .withColumn("__rn", F.row_number().over(w))
-    )
-    b = df.filter(b_pred).select(
-        F.col(key_col).alias("__bk"),
-        F.col(ts_col).alias("__bts"),
-        F.col(id_col).alias("__bid"),
-    )
-    first = a.select(
-        F.col("__k"), F.col("__ts").alias("__fts"), F.col("__id").alias("__fid"),
-        F.col("__rn").alias("__frn"),
-    )
-    last = a.select(
-        F.col("__k").alias("__lk"), F.col("__ts").alias("__lts"),
-        F.col("__id").alias("__lid"), F.col("__rn").alias("__lrn"),
-    )
-    within = F.expr(f"INTERVAL {within_seconds} SECONDS")
-    run_band = (F.col("__lrn") - F.col("__frn") >= F.lit(m - 1))
-    if n is not None:
-        run_band = run_band & (F.col("__lrn") - F.col("__frn") <= F.lit(n - 1))
-    runs = first.join(
-        last,
-        (F.col("__k") == F.col("__lk"))
-        & run_band
-        & (F.col("__lts") <= F.col("__fts") + within),
-    )
-    after_last = (F.col("__bts") > F.col("__lts")) | (
-        (F.col("__bts") == F.col("__lts")) & (F.col("__bid") > F.col("__lid"))
-    )
-    return (
-        runs.join(
-            b,
-            (F.col("__k") == F.col("__bk"))
-            & after_last
-            & (F.col("__bts") <= F.col("__fts") + within),
-        )
-        .select(
-            F.col("__k").alias(key_col),
-            F.col("__fid").alias(f"{a_name}_first_id"),
-            F.col("__lid").alias(f"{a_name}_last_id"),
-            (F.col("__lrn") - F.col("__frn") + 1).alias(f"{a_name}_count"),
-            F.col("__bid").alias(f"{b_name}_id"),
-        )
+    return match_pattern(
+        df,
+        [quant, (terminal[0], terminal[1], 1, 1)],
+        within_seconds,
+        key_col=key_col,
+        ts_col=ts_col,
+        id_col=id_col,
     )
 
 
@@ -193,96 +197,6 @@ def _check_bounds(m: int, n: int | None) -> None:
 # ---------------------------------------------------------------------------
 # streaming lowering: one NFA state store
 # ---------------------------------------------------------------------------
-
-def _nfa_func(m: int, n: int | None, within_us: int, a_name: str, b_name: str):
-    import pandas as pd  # noqa: PLC0415 — executor-side import
-
-    cols = [
-        "__k",
-        f"{a_name}_first_id",
-        f"{a_name}_last_id",
-        f"{a_name}_count",
-        f"{b_name}_id",
-    ]
-
-    def empty() -> "pd.DataFrame":
-        return pd.DataFrame({c: [] for c in cols})
-
-    def flush(key, state: GroupState, a_ev, b_ev, cursor):
-        wm_us = state.getCurrentWatermarkMs() * 1000
-        matches, cursor = quantified_matches(
-            a_ev, b_ev, m, n, within_us, close_before_us=wm_us, cursor=cursor
-        )
-        # evict events no open anchor can reach (ts < wm - within); open
-        # anchors have ts + within > wm and only look FORWARD from their ts
-        keep_from = wm_us - within_us
-        a_ev = [e for e in a_ev if e[0] >= keep_from]
-        b_ev = [e for e in b_ev if e[0] >= keep_from]
-        if a_ev or b_ev:
-            state.update(
-                (
-                    [t for t, _ in a_ev], [i for _, i in a_ev],
-                    [t for t, _ in b_ev], [i for _, i in b_ev],
-                    cursor[0] if cursor else None,
-                    cursor[1] if cursor else None,
-                )
-            )
-            # wake when the earliest un-flushed anchor closes
-            open_anchors = [
-                t for t, i in a_ev if cursor is None or (t, i) > cursor
-            ]
-            if open_anchors:
-                close_ms = (min(open_anchors) + within_us) // 1000
-                state.setTimeoutTimestamp(max(close_ms, wm_us // 1000 + 1))
-        elif state.exists:
-            state.remove()
-        if not matches:
-            return empty()
-        return pd.DataFrame(
-            {
-                "__k": [key[0]] * len(matches),
-                f"{a_name}_first_id": [mt[0] for mt in matches],
-                f"{a_name}_last_id": [mt[1] for mt in matches],
-                f"{a_name}_count": [mt[2] for mt in matches],
-                f"{b_name}_id": [mt[3] for mt in matches],
-            }
-        )
-
-    def load(state: GroupState):
-        if not state.exists:
-            return [], [], None
-        a_ts, a_id, b_ts, b_id, c_ts, c_id = state.get
-        a_ev = sorted(zip(list(a_ts), list(a_id)))
-        b_ev = sorted(zip(list(b_ts), list(b_id)))
-        cursor = (c_ts, c_id) if c_ts is not None else None
-        return a_ev, b_ev, cursor
-
-    def func(key, pdf_iter, state: GroupState):
-        a_ev, b_ev, cursor = load(state)
-        if state.hasTimedOut:
-            yield flush(key, state, a_ev, b_ev, cursor)
-            return
-        for pdf in pdf_iter:
-            if pdf.empty:
-                continue
-            ts_us = pdf["__ts"].astype("int64").tolist()
-            ids = pdf["__id"].tolist()
-            is_as = pdf["__a"].fillna(False).tolist()
-            is_bs = pdf["__b"].fillna(False).tolist()
-            for t, i, is_a, is_b in zip(ts_us, ids, is_as, is_bs):
-                ev = (int(t), int(i))
-                # drop events at or below the cursor: their anchors are
-                # flushed (true late data past grace — same drop the
-                # watermark applies); as run-members they'd extend only
-                # flushed anchors
-                if is_a and (cursor is None or ev > cursor):
-                    bisect.insort(a_ev, ev)
-                if is_b and (cursor is None or ev > cursor):
-                    bisect.insort(b_ev, ev)
-        yield flush(key, state, a_ev, b_ev, cursor)
-
-    return func, cols
-
 
 def match_quantified_stream(
     df: DataFrame,
@@ -298,48 +212,275 @@ def match_quantified_stream(
     One ``applyInPandasWithState`` operator (update mode + event-time
     timeout); emits each match exactly once when its anchor's window closes
     behind the watermark.  Output schema matches ``match_quantified``.
+    Two-leg wrapper over :func:`match_pattern_stream`.
     """
-    a_name, a_pred, m, n = quant
-    b_name, b_pred = terminal
-    _check_bounds(m, n)
-    if not df.isStreaming:
-        raise AnalysisError("match_quantified_stream requires a streaming DataFrame")
+    return match_pattern_stream(
+        df,
+        [quant, (terminal[0], terminal[1], 1, 1)],
+        within_seconds,
+        key_col=key_col,
+        ts_col=ts_col,
+        id_col=id_col,
+    )
 
-    # keep the watermark-tagged event-time column in the projection (the
-    # stateful operator's child must carry it — same as bounded.py); the
-    # kernel works on exact epoch-microsecond longs
-    proj = df.select(
+
+# ---------------------------------------------------------------------------
+# multi-leg quantified patterns: L0{m0,n0} L1{m1,n1} ... within T
+# ---------------------------------------------------------------------------
+
+
+def _leg_runs(df: DataFrame, pred: Column, m: int, n: int | None,
+              within: Column, key_col: str, ts_col: str, id_col: str, i: int) -> DataFrame:
+    """Leg i's run frame: (key, first_ts, first_id, last_ts, last_id, count).
+
+    A (1,1) leg is just its events (run == event, no self-join); a
+    quantified leg is the rn-banded self-join over its own filtered
+    subsequence.  ``last_ts <= first_ts + within`` bounds the band at
+    construction (any run inside some anchor's horizon satisfies it), so a
+    Kleene leg never builds an unbounded product.
+    """
+    base = df.filter(pred).select(
+        F.col(key_col).alias(f"__k{i}"),
+        F.col(ts_col).alias(f"__f{i}_ts"),
+        F.col(id_col).alias(f"__f{i}_id"),
+    )
+    if (m, n) == (1, 1):
+        return base.select(
+            f"__k{i}",
+            f"__f{i}_ts", f"__f{i}_id",
+            F.col(f"__f{i}_ts").alias(f"__l{i}_ts"),
+            F.col(f"__f{i}_id").alias(f"__l{i}_id"),
+            F.lit(1).cast("long").alias(f"__c{i}"),
+        )
+    w = Window.partitionBy(f"__k{i}").orderBy(f"__f{i}_ts", f"__f{i}_id")
+    a = base.withColumn(f"__rn{i}", F.row_number().over(w))
+    first = a
+    last = a.select(
+        F.col(f"__k{i}").alias(f"__lk{i}"),
+        F.col(f"__f{i}_ts").alias(f"__l{i}_ts"),
+        F.col(f"__f{i}_id").alias(f"__l{i}_id"),
+        F.col(f"__rn{i}").alias(f"__lrn{i}"),
+    )
+    band = F.col(f"__lrn{i}") - F.col(f"__rn{i}") >= F.lit(m - 1)
+    if n is not None:
+        band = band & (F.col(f"__lrn{i}") - F.col(f"__rn{i}") <= F.lit(n - 1))
+    return (
+        first.join(
+            last,
+            (F.col(f"__k{i}") == F.col(f"__lk{i}"))
+            & band
+            & (F.col(f"__l{i}_ts") <= F.col(f"__f{i}_ts") + within),
+        )
+        .select(
+            f"__k{i}",
+            f"__f{i}_ts", f"__f{i}_id", f"__l{i}_ts", f"__l{i}_id",
+            (F.col(f"__lrn{i}") - F.col(f"__rn{i}") + 1).cast("long").alias(f"__c{i}"),
+        )
+    )
+
+
+def match_pattern(
+    df: DataFrame,
+    legs: list[tuple[str, Column, int, int | None]],
+    within_seconds: float,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Batch multi-leg quantified pattern: ``L0{m0,n0} L1{m1,n1} ...``.
+
+    ``legs`` are (name, predicate, m, n) tuples (``n=None`` = Kleene upper).
+    Each leg matches m..n CONSECUTIVE events of its own predicate
+    subsequence; leg i+1 starts strictly after leg i's last element in
+    (ts, id) order; everything lands within ``within_seconds`` of the
+    match's anchor (leg 0's first event).  Output columns per quantified
+    leg: ``<name>_first_id, <name>_last_id, <name>_count``; per (1,1) leg:
+    ``<name>_id``.  Pure banded-join algebra — semantics defined by (and
+    property-tested against) :func:`pattern_matches`.
+    """
+    if len(legs) < 1:
+        raise AnalysisError("pattern needs at least one leg")
+    names = [nm for nm, _, _, _ in legs]
+    if len(set(names)) != len(names):
+        raise AnalysisError("leg names must be unique")
+    for _, _, m, n in legs:
+        _check_bounds(m, n)
+    within = F.expr(f"INTERVAL {within_seconds} SECONDS")
+
+    out = _leg_runs(df, legs[0][1], legs[0][2], legs[0][3], within,
+                    key_col, ts_col, id_col, 0)
+    for i, (_, pred, m, n) in enumerate(legs[1:], start=1):
+        runs = _leg_runs(df, pred, m, n, within, key_col, ts_col, id_col, i)
+        prev = i - 1
+        order = (F.col(f"__f{i}_ts") > F.col(f"__l{prev}_ts")) | (
+            (F.col(f"__f{i}_ts") == F.col(f"__l{prev}_ts"))
+            & (F.col(f"__f{i}_id") > F.col(f"__l{prev}_id"))
+        )
+        out = out.join(
+            runs,
+            (F.col("__k0") == F.col(f"__k{i}"))
+            & order
+            & (F.col(f"__l{i}_ts") <= F.col("__f0_ts") + within),
+        ).drop(f"__k{i}")
+
+    cols = [F.col("__k0").alias(key_col)]
+    for i, (nm, _, m, n) in enumerate(legs):
+        if (m, n) == (1, 1):
+            cols.append(F.col(f"__f{i}_id").alias(f"{nm}_id"))
+        else:
+            cols += [
+                F.col(f"__f{i}_id").alias(f"{nm}_first_id"),
+                F.col(f"__l{i}_id").alias(f"{nm}_last_id"),
+                F.col(f"__c{i}").alias(f"{nm}_count"),
+            ]
+    return out.select(*cols)
+
+
+def _pattern_func(bounds: list, within_us: int, out_cols: list, n_legs: int):
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    def empty() -> "pd.DataFrame":
+        return pd.DataFrame({c: [] for c in out_cols})
+
+    def flush(key, state: GroupState, leg_ev, cursor):
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        matches, cursor = pattern_matches(
+            leg_ev, bounds, within_us, close_before_us=wm_us, cursor=cursor
+        )
+        keep_from = wm_us - within_us
+        leg_ev = [[e for e in evs if e[0] >= keep_from] for evs in leg_ev]
+        if any(leg_ev):
+            flat = []
+            for evs in leg_ev:
+                flat.append([t for t, _ in evs])
+                flat.append([i for _, i in evs])
+            flat += [cursor[0] if cursor else None, cursor[1] if cursor else None]
+            state.update(tuple(flat))
+            open_anchors = [
+                t for t, i in leg_ev[0] if cursor is None or (t, i) > cursor
+            ]
+            if open_anchors:
+                close_ms = (min(open_anchors) + within_us) // 1000
+                state.setTimeoutTimestamp(max(close_ms, wm_us // 1000 + 1))
+        elif state.exists:
+            state.remove()
+        if not matches:
+            return empty()
+        data: dict = {out_cols[0]: [key[0]] * len(matches)}
+        ci = 1
+        for li, (m, n) in enumerate(bounds):
+            firsts = [mt[li][0] for mt in matches]
+            lasts = [mt[li][1] for mt in matches]
+            cnts = [mt[li][2] for mt in matches]
+            if (m, n) == (1, 1):
+                data[out_cols[ci]] = firsts
+                ci += 1
+            else:
+                data[out_cols[ci]] = firsts
+                data[out_cols[ci + 1]] = lasts
+                data[out_cols[ci + 2]] = cnts
+                ci += 3
+        return pd.DataFrame(data)
+
+    def load(state: GroupState):
+        if not state.exists:
+            return [[] for _ in range(n_legs)], None
+        flat = state.get
+        leg_ev = []
+        for li in range(n_legs):
+            leg_ev.append(sorted(zip(list(flat[2 * li]), list(flat[2 * li + 1]))))
+        c_ts, c_id = flat[2 * n_legs], flat[2 * n_legs + 1]
+        return leg_ev, ((c_ts, c_id) if c_ts is not None else None)
+
+    def func(key, pdf_iter, state: GroupState):
+        leg_ev, cursor = load(state)
+        if state.hasTimedOut:
+            yield flush(key, state, leg_ev, cursor)
+            return
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            ts_us = pdf["__ts"].astype("int64").tolist()
+            ids = pdf["__id"].tolist()
+            masks = [pdf[f"__p{li}"].fillna(False).tolist() for li in range(n_legs)]
+            for r, (t, i) in enumerate(zip(ts_us, ids)):
+                ev = (int(t), int(i))
+                if cursor is not None and ev <= cursor:
+                    continue  # late past every unflushed anchor's reach
+                for li in range(n_legs):
+                    if masks[li][r]:
+                        bisect.insort(leg_ev[li], ev)
+        yield flush(key, state, leg_ev, cursor)
+
+    return func
+
+
+def match_pattern_stream(
+    df: DataFrame,
+    legs: list[tuple[str, Column, int, int | None]],
+    within_seconds: float,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming multi-leg quantified pattern over a watermarked stream.
+
+    ONE ``applyInPandasWithState`` operator regardless of leg count or
+    quantifier bounds — per-key state is the per-leg event buffers of the
+    active horizon plus a flush cursor; each match emits exactly once when
+    its anchor's window closes behind the watermark.  Output schema matches
+    :func:`match_pattern`.
+    """
+    names = [nm for nm, _, _, _ in legs]
+    if len(set(names)) != len(names):
+        raise AnalysisError("leg names must be unique")
+    for _, _, m, n in legs:
+        _check_bounds(m, n)
+    if not df.isStreaming:
+        raise AnalysisError("match_pattern_stream requires a streaming DataFrame")
+
+    preds = [pred for _, pred, _, _ in legs]
+    sel = [
         F.col(key_col).alias("__k"),
         F.col(ts_col).alias("__wmts"),
         F.unix_micros(F.col(ts_col)).alias("__ts"),
         F.col(id_col).alias("__id"),
-        a_pred.alias("__a"),
-        b_pred.alias("__b"),
-    ).filter(F.coalesce(F.col("__a"), F.lit(False)) | F.coalesce(F.col("__b"), F.lit(False)))
+    ] + [p.alias(f"__p{i}") for i, p in enumerate(preds)]
+    keep = F.coalesce(F.col("__p0"), F.lit(False))
+    for i in range(1, len(preds)):
+        keep = keep | F.coalesce(F.col(f"__p{i}"), F.lit(False))
+    proj = df.select(*sel).filter(keep)
 
     key_type = df.select(F.col(key_col)).schema[0].dataType
     id_type = df.select(F.col(id_col)).schema[0].dataType
-    func, cols = _nfa_func(m, n, int(within_seconds * 1_000_000), a_name, b_name)
-    out_schema = StructType(
-        [
-            StructField("__k", key_type),
-            StructField(f"{a_name}_first_id", id_type),
-            StructField(f"{a_name}_last_id", id_type),
-            StructField(f"{a_name}_count", LongType()),
-            StructField(f"{b_name}_id", id_type),
+    out_fields = [StructField("__k", key_type)]
+    out_cols = ["__k"]
+    for nm, _, m, n in legs:
+        if (m, n) == (1, 1):
+            out_fields.append(StructField(f"{nm}_id", id_type))
+            out_cols.append(f"{nm}_id")
+        else:
+            out_fields += [
+                StructField(f"{nm}_first_id", id_type),
+                StructField(f"{nm}_last_id", id_type),
+                StructField(f"{nm}_count", LongType()),
+            ]
+            out_cols += [f"{nm}_first_id", f"{nm}_last_id", f"{nm}_count"]
+    state_fields: list[StructField] = []
+    for i in range(len(legs)):
+        state_fields += [
+            StructField(f"ts{i}", ArrayType(LongType())),
+            StructField(f"id{i}", ArrayType(id_type)),
         ]
-    )
-    state_schema = StructType(
-        [
-            StructField("a_ts", ArrayType(LongType())),
-            StructField("a_id", ArrayType(id_type)),
-            StructField("b_ts", ArrayType(LongType())),
-            StructField("b_id", ArrayType(id_type)),
-            StructField("c_ts", LongType()),
-            StructField("c_id", id_type),
-        ]
-    )
+    state_fields += [StructField("c_ts", LongType()), StructField("c_id", id_type)]
+
+    bounds = [(m, n) for _, _, m, n in legs]
+    func = _pattern_func(bounds, int(within_seconds * 1_000_000), out_cols, len(legs))
     out = proj.groupBy(F.col("__k")).applyInPandasWithState(
-        func, out_schema, state_schema, "update", GroupStateTimeout.EventTimeTimeout
+        func,
+        StructType(out_fields),
+        StructType(state_fields),
+        "update",
+        GroupStateTimeout.EventTimeTimeout,
     )
     return out.withColumnRenamed("__k", key_col)

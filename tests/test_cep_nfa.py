@@ -279,3 +279,110 @@ def test_state_bounded_by_time_window():
         retained_max = max(retained_max, len(a_ev) + len(b_ev))
     # ~35s of horizon at ~1.5s/event ≈ 24 events; assert well under history
     assert retained_max < 60, retained_max
+
+
+# ---------------------------------------------------------------------------
+# multi-leg patterns: L0{m0,n0} L1{m1,n1} ...
+# ---------------------------------------------------------------------------
+
+
+def test_kernel_three_leg_pattern():
+    from ksql_spark.operators.cep_nfa import pattern_matches
+
+    # A@0 A@5, B@10 B@12, C@20  (ids 1,2,3,4,5), within 60
+    a = [(0, 1), (5 * US, 2)]
+    b = [(10 * US, 3), (12 * US, 4)]
+    c = [(20 * US, 5)]
+    got, cur = pattern_matches([a, b, c], [(2, 2), (1, 2), (1, 1)], within_us=60 * US)
+    # leg0 run must be {1,2}; leg1 runs after (5,2): {3},{4},{3,4}; leg2: {5}
+    assert sorted(got) == [
+        ((1, 2, 2), (3, 3, 1), (5, 5, 1), 0),
+        ((1, 2, 2), (3, 4, 2), (5, 5, 1), 0),
+        ((1, 2, 2), (4, 4, 1), (5, 5, 1), 0),
+    ]
+    assert cur == (5 * US, 2)
+
+
+def _kernel_pattern_truth(df, legs, within_s):
+    from ksql_spark.operators.cep_nfa import pattern_matches
+
+    rows = df.collect()
+    by_key: dict = {}
+    for r in rows:
+        lists = by_key.setdefault(r["user_id"], [[] for _ in legs])
+        ts_us = int(r["ts"].timestamp() * US)
+        for li, (_, types, _, _) in enumerate(legs):
+            if r["event_type"] in types:
+                lists[li].append((ts_us, r["event_id"]))
+    want = []
+    bounds = [(m, n) for _, _, m, n in legs]
+    for uid, lists in by_key.items():
+        got, _ = pattern_matches([sorted(x) for x in lists], bounds, within_s * US)
+        for mt in got:
+            row = [uid]
+            for li, (_, _, m, n) in enumerate(legs):
+                f, l, cnt = mt[li]
+                if (m, n) == (1, 1):
+                    row.append(f)
+                else:
+                    row += [f, l, cnt]
+            want.append(tuple(row))
+    return sorted(want)
+
+
+def test_batch_three_leg_pattern_equals_kernel(spark, rand_events):
+    from ksql_spark.operators.cep_nfa import match_pattern
+
+    legs_spec = [
+        ("a", {"A"}, 1, 2),
+        ("b", {"B"}, 1, 2),
+        ("c", {"C"}, 1, 1),
+    ]
+    legs = [
+        ("a", Fn.col("event_type") == "A", 1, 2),
+        ("b", Fn.col("event_type") == "B", 1, 2),
+        ("c", Fn.col("event_type") == "C", 1, 1),
+    ]
+    got = sorted(
+        map(tuple, match_pattern(rand_events, legs, within_seconds=40).collect())
+    )
+    want = _kernel_pattern_truth(rand_events, legs_spec, 40)
+    assert got == want and len(got) > 10
+
+
+def test_streaming_three_leg_pattern_matches_batch(spark, rand_events, tmp_path):
+    """The general NFA on a stream: one state store for a 3-leg pattern
+    with a Kleene middle leg — result equals the batch banded-join twin."""
+    from ksql_spark.operators.cep_nfa import match_pattern, match_pattern_stream
+    from ksql_spark.streaming.sink import ExactlyOnceParquetSink
+
+    legs = [
+        ("a", Fn.col("event_type") == "A", 2, 3),
+        ("b", Fn.col("event_type") == "B", 1, None),  # Kleene-plus middle
+        ("c", Fn.col("event_type") == "C", 1, 1),
+    ]
+    path = str(tmp_path / "ev")
+    _write_stream_fixture(spark, rand_events, path)
+    # sentinel C too (every leg's filter is pushed below its watermark node)
+    sent = spark.createDataFrame(
+        [(-3, -1, "C", "2024-06-01 00:00:00")],
+        "event_id bigint, user_id bigint, event_type string, ts_s string",
+    ).select("event_id", "user_id", "event_type", Fn.col("ts_s").cast("timestamp").alias("ts"))
+    sent.coalesce(1).write.mode("append").parquet(path)
+
+    src = spark.readStream.schema(rand_events.schema).parquet(path).withWatermark("ts", "5 seconds")
+    out = match_pattern_stream(src, legs, within_seconds=45)
+    sink = ExactlyOnceParquetSink(str(tmp_path / "sink"), lineage=False)
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, sink.read_data(spark).collect()))
+    want = sorted(
+        map(tuple, match_pattern(rand_events, legs, within_seconds=45).collect())
+    )
+    assert got == want and len(got) > 5
