@@ -19,6 +19,7 @@ inline.
 
 from __future__ import annotations
 
+import copy
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -671,10 +672,15 @@ def _validate_bounded_having(
             if match is not None:
                 subs[id(a)] = match.output_name()
             elif _is_bounded_collection(a) or _is_bounded_scalar(a):
+                # alias a COPY, not the user's expression object: compile
+                # must stay side-effect-free so the same SelectBuilder can
+                # be lowered again (e.g. the batch oracle twin) without the
+                # hidden-slot alias leaking into that lowering (ADVICE r5)
                 hname = f"__having_{len(hidden)}"
-                a.alias_name = hname
+                slot = copy.copy(a)
+                slot.alias_name = hname
                 subs[id(a)] = hname
-                hidden.append(a)
+                hidden.append(slot)
             else:
                 raise AnalysisError(
                     f"HAVING aggregate {_describe_cond(a)} has no bounded-state "

@@ -123,9 +123,35 @@ def salted_stream_stream_join(
     state watermark-evictable — the same WITHIN shape compile.py gives
     stream-stream joins.  Distinct ts column names are required (rename
     before calling); every other column name must be disjoint too.
+
+    ``left_salt_cols`` is REQUIRED here (unlike the batch ``salted_join``):
+    the stream-stream state contract needs a salt that is stable across
+    micro-batch replay and task retries, and ``add_salt``'s fallback
+    (``xxhash64(monotonically_increasing_id())``) depends on partition
+    layout — a replayed epoch could salt the same row differently and lose
+    or duplicate matches on recovery (ADVICE r5).
+
+    ``how`` is restricted to ``inner`` / ``left_outer`` / ``left_semi``:
+    the right side is exploded across all ``salt_buckets``, so a
+    right-preserving join would emit every unmatched right row
+    ``salt_buckets`` times (ADVICE r5).
     """
     if left_ts == right_ts:
         raise ValueError("left_ts and right_ts must be distinct column names")
+    if not left_salt_cols:
+        raise ValueError(
+            "salted_stream_stream_join requires left_salt_cols: the salt must "
+            "be a deterministic function of row content to stay stable across "
+            "micro-batch replay (exactly-once recovery); add_salt's "
+            "monotonically_increasing_id fallback is partition-layout-dependent"
+        )
+    if how.replace("_", "") not in ("inner", "leftouter", "left", "leftsemi"):
+        raise ValueError(
+            f"salted_stream_stream_join supports how='inner'/'left_outer'/"
+            f"'left_semi' only (got {how!r}): the right side is exploded "
+            f"across {salt_buckets} salt buckets, so a right-preserving join "
+            f"would emit each unmatched right row {salt_buckets} times"
+        )
     l = add_salt(left, salt_buckets, deterministic_cols=left_salt_cols).alias("__l")
     r = (
         right.withColumn(

@@ -321,13 +321,20 @@ def _kernel_pattern_truth(df, legs, within_s):
         for mt in got:
             row = [uid]
             for li, (_, _, m, n) in enumerate(legs):
+                if (m, n) == (0, 0):
+                    continue  # negation legs emit no columns
                 f, l, cnt = mt[li]
                 if (m, n) == (1, 1):
                     row.append(f)
                 else:
                     row += [f, l, cnt]
             want.append(tuple(row))
-    return sorted(want)
+    return sorted(want, key=_nsk)
+
+
+def _nsk(row):
+    """None-safe sort key (optional-leg columns may be NULL)."""
+    return tuple((v is None, v if v is not None else 0) for v in row)
 
 
 def test_batch_three_leg_pattern_equals_kernel(spark, rand_events):
@@ -386,3 +393,302 @@ def test_streaming_three_leg_pattern_matches_batch(spark, rand_events, tmp_path)
         map(tuple, match_pattern(rand_events, legs, within_seconds=45).collect())
     )
     assert got == want and len(got) > 5
+
+
+# ---------------------------------------------------------------------------
+# negation and optional legs (round 6: VERDICT r5 next-step #3)
+# ---------------------------------------------------------------------------
+
+
+def _brute_pattern(leg_events, bounds, within_us):
+    """Independent re-derivation of the leg semantics (plain nested loops,
+    no bisect/cursor machinery) to pin pattern_matches."""
+    n_legs = len(bounds)
+    out = []
+
+    def runs_of(evs, m, n, start_after, horizon):
+        res = []
+        for j, f in enumerate(evs):
+            if not (f > start_after) or f[0] > horizon:
+                continue
+            maxlen = (len(evs) - j) if n is None else min(max(n, 1), len(evs) - j)
+            for ln in range(max(m, 1), maxlen + 1):
+                last = evs[j + ln - 1]
+                if last[0] > horizon:
+                    continue
+                res.append((f, last, ln))
+        return res
+
+    def rec(i, start_after, horizon, acc, anchor_ts, pending):
+        if i == n_legs:
+            out.append(tuple(acc) + (anchor_ts,))
+            return
+        m, n = bounds[i]
+        evs = leg_events[i]
+        if (m, n) == (0, 0):
+            rec(i + 1, start_after, horizon, acc + [(None, None, 0)], anchor_ts, pending + [i])
+            return
+        if m == 0:
+            rec(i + 1, start_after, horizon, acc + [(None, None, 0)], anchor_ts, pending)
+        for f, last, ln in runs_of(evs, m, n, start_after, horizon):
+            if any(start_after < e < f for li in pending for e in leg_events[li]):
+                continue
+            rec(i + 1, last, horizon, acc + [(f[1], last[1], ln)], anchor_ts, [])
+
+    m0, n0 = bounds[0]
+    for idx, a in enumerate(leg_events[0]):
+        horizon = a[0] + within_us
+        maxlen = (len(leg_events[0]) - idx) if n0 is None else min(n0, len(leg_events[0]) - idx)
+        for ln in range(m0, maxlen + 1):
+            last = leg_events[0][idx + ln - 1]
+            if last[0] > horizon:
+                continue
+            head = (a[1], last[1], ln)
+            if n_legs == 1:
+                out.append((head, a[0]))
+            else:
+                rec(1, last, horizon, [head], a[0], [])
+    return out
+
+
+def _mk(match):
+    return tuple(
+        tuple(-1 if v is None else v for v in leg) if isinstance(leg, tuple) else leg
+        for leg in match
+    )
+
+
+def test_kernel_negation_basic():
+    from ksql_spark.operators.cep_nfa import pattern_matches
+
+    a = [(0, 1), (5 * US, 2)]
+    c = [(7 * US, 9)]  # negated: falls between A@5 and B@10 only
+    b = [(3 * US, 3), (10 * US, 4)]
+    got, _ = pattern_matches(
+        [a, c, b], [(1, 1), (0, 0), (1, 1)], within_us=60 * US
+    )
+    # A@0 -> B@3 (gap (0,3): no C) ok; A@0 -> B@10 blocked by C@7;
+    # A@5 -> B@10 blocked by C@7
+    assert sorted(got) == [((1, 1, 1), (None, None, 0), (3, 3, 1), 0)]
+
+
+def test_kernel_optional_basic():
+    from ksql_spark.operators.cep_nfa import pattern_matches
+
+    a = [(0, 1)]
+    x = [(3 * US, 7), (5 * US, 8)]  # optional 0..1
+    b = [(10 * US, 4)]
+    got, _ = pattern_matches(
+        [a, x, b], [(1, 1), (0, 1), (1, 1)], within_us=60 * US
+    )
+    assert sorted(got, key=_mk) == sorted(
+        [
+            ((1, 1, 1), (None, None, 0), (4, 4, 1), 0),  # empty branch
+            ((1, 1, 1), (7, 7, 1), (4, 4, 1), 0),
+            ((1, 1, 1), (8, 8, 1), (4, 4, 1), 0),
+        ],
+        key=_mk,
+    )
+
+
+def test_kernel_negation_optional_random_vs_brute():
+    from ksql_spark.operators.cep_nfa import pattern_matches
+
+    rng = random.Random(20260817)
+    for _ in range(400):
+        n_legs = rng.randint(2, 4)
+        bounds = []
+        for i in range(n_legs):
+            if i == 0 or i == n_legs - 1:
+                m = rng.randint(1, 2)
+                n = rng.choice([m, m + 1, None])
+            else:
+                kind = rng.choice(["pos", "neg", "opt"])
+                if kind == "pos":
+                    m = rng.randint(1, 2)
+                    n = rng.choice([m, m + 2, None])
+                elif kind == "neg":
+                    m, n = 0, 0
+                else:
+                    m, n = 0, rng.choice([1, 2, None])
+            bounds.append((m, n))
+        leg_events = []
+        for _li in range(n_legs):
+            k = rng.randint(0, 6)
+            evs = sorted(set((rng.randint(0, 30), rng.randint(0, 100)) for _ in range(k)))
+            leg_events.append(evs)
+        within = rng.randint(5, 20)
+        got, _ = pattern_matches(leg_events, bounds, within)
+        want = _brute_pattern(leg_events, bounds, within)
+        assert sorted(got, key=_mk) == sorted(want, key=_mk), (bounds, leg_events, within)
+
+
+def test_kernel_work_cap_raises():
+    from ksql_spark.operators.cep_nfa import PatternWorkCapExceeded, pattern_matches
+
+    evs = [(t * US, t) for t in range(40)]  # dense run, Kleene bound
+    with pytest.raises(PatternWorkCapExceeded):
+        pattern_matches([evs, evs], [(1, None), (1, 1)], 1000 * US, work_cap=50)
+
+
+def test_pattern_shape_validation(spark):
+    from ksql_spark.operators.cep_nfa import match_pattern
+
+    ev = None  # validation fires before the DataFrame is touched
+    with pytest.raises(AnalysisError):  # leading optional: no anchor
+        match_pattern(ev, [("x", Fn.lit(True), 0, 1), ("b", Fn.lit(True), 1, 1)], 10)
+    with pytest.raises(AnalysisError):  # trailing negation: no closing elem
+        match_pattern(ev, [("a", Fn.lit(True), 1, 1), ("x", Fn.lit(True), 0, 0)], 10)
+    with pytest.raises(AnalysisError):  # n < m still rejected
+        match_pattern(ev, [("a", Fn.lit(True), 3, 2), ("b", Fn.lit(True), 1, 1)], 10)
+
+
+def test_batch_pattern_negation_equals_kernel(spark, rand_events):
+    from ksql_spark.operators.cep_nfa import match_pattern
+
+    legs_spec = [("a", {"A"}, 1, 2), ("nc", {"C"}, 0, 0), ("b", {"B"}, 1, 1)]
+    legs = [
+        ("a", Fn.col("event_type") == "A", 1, 2),
+        ("nc", Fn.col("event_type") == "C", 0, 0),
+        ("b", Fn.col("event_type") == "B", 1, 1),
+    ]
+    got = sorted(
+        map(tuple, match_pattern(rand_events, legs, within_seconds=40).collect()),
+        key=_nsk,
+    )
+    want = _kernel_pattern_truth(rand_events, legs_spec, 40)
+    assert got == want and len(got) > 5
+
+
+def test_batch_pattern_optional_equals_kernel(spark, rand_events):
+    from ksql_spark.operators.cep_nfa import match_pattern
+
+    legs_spec = [("a", {"A"}, 2, 3), ("ob", {"B"}, 0, 2), ("c", {"C"}, 1, 1)]
+    legs = [
+        ("a", Fn.col("event_type") == "A", 2, 3),
+        ("ob", Fn.col("event_type") == "B", 0, 2),
+        ("c", Fn.col("event_type") == "C", 1, 1),
+    ]
+    got = sorted(
+        map(tuple, match_pattern(rand_events, legs, within_seconds=40).collect()),
+        key=_nsk,
+    )
+    want = _kernel_pattern_truth(rand_events, legs_spec, 40)
+    assert got == want and len(got) > 5
+    # row = (user_id, a_first, a_last, a_count, ob_first, ob_last, ob_count, c_id)
+    assert any(r[4] is None for r in got)  # empty-branch rows present
+    assert any(r[4] is not None for r in got)
+
+
+def test_batch_negation_equals_chained_join(spark, rand_events):
+    """Shared-fixture pin against the cep.py chained-join lowering: for a
+    2-step pattern the NFA's between-leg negation and match_sequence's
+    between-first-and-last negation coincide."""
+    from ksql_spark.operators.cep import match_sequence
+    from ksql_spark.operators.cep_nfa import match_pattern
+
+    nfa = match_pattern(
+        rand_events,
+        [
+            ("a", Fn.col("event_type") == "A", 1, 1),
+            ("nc", Fn.col("event_type") == "C", 0, 0),
+            ("b", Fn.col("event_type") == "B", 1, 1),
+        ],
+        within_seconds=35,
+    )
+    chained = match_sequence(
+        rand_events,
+        [("a", Fn.col("event_type") == "A"), ("b", Fn.col("event_type") == "B")],
+        within_seconds=35,
+        absent=[("c", Fn.col("event_type") == "C")],
+    )
+    got = sorted((r["user_id"], r["a_id"], r["b_id"]) for r in nfa.collect())
+    want = sorted((r["user_id"], r["a_id"], r["b_id"]) for r in chained.collect())
+    assert got == want and len(got) > 5
+
+
+def test_streaming_pattern_negation_optional_matches_batch(spark, rand_events, tmp_path):
+    """The full NFA on a stream: quantified + negation + optional legs in
+    one pattern, ONE state store — result equals the batch twin."""
+    from ksql_spark.operators.cep_nfa import match_pattern, match_pattern_stream
+    from ksql_spark.streaming.sink import ExactlyOnceParquetSink
+
+    legs = [
+        ("a", Fn.col("event_type") == "A", 1, 2),
+        ("nc", Fn.col("event_type") == "C", 0, 0),
+        ("b", Fn.col("event_type") == "B", 1, 1),
+        ("oc", Fn.col("event_type") == "C", 0, 1),
+        ("b2", Fn.col("event_type") == "B", 1, 1),
+    ]
+    path = str(tmp_path / "ev")
+    _write_stream_fixture(spark, rand_events, path)
+    src = spark.readStream.schema(rand_events.schema).parquet(path).withWatermark("ts", "5 seconds")
+    out = match_pattern_stream(src, legs, within_seconds=45)
+    sink = ExactlyOnceParquetSink(str(tmp_path / "sink"), lineage=False)
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, sink.read_data(spark).collect()), key=_nsk)
+    want = sorted(
+        map(tuple, match_pattern(rand_events, legs, within_seconds=45).collect()),
+        key=_nsk,
+    )
+    assert got == want and len(got) > 5
+
+
+def test_streaming_string_ids(spark, tmp_path):
+    """ADVICE r5: non-integer id columns must work end-to-end (native id
+    values in the NFA state, ordering within the string type)."""
+    from ksql_spark.operators.cep_nfa import match_pattern, match_pattern_stream
+    from ksql_spark.streaming.sink import ExactlyOnceParquetSink
+
+    rng = random.Random(99)
+    rows = []
+    for uid in range(4):
+        t = 0
+        for k in range(30):
+            t += rng.randrange(1, 10)
+            rows.append((f"ev-{uid:02d}-{k:03d}", uid, rng.choice(["A", "A", "B"]), t))
+    df = (
+        spark.createDataFrame(rows, "event_id string, user_id bigint, event_type string, sec bigint")
+        .select(
+            "event_id", "user_id", "event_type",
+            (Fn.lit("2024-01-01 00:00:00").cast("timestamp")
+             + Fn.make_interval(secs=Fn.col("sec"))).alias("ts"),
+        )
+    )
+    legs = [
+        ("a", Fn.col("event_type") == "A", 2, 3),
+        ("b", Fn.col("event_type") == "B", 1, 1),
+    ]
+    path = str(tmp_path / "ev")
+    n = df.count()
+    df.orderBy("ts", "event_id").coalesce(1).write.mode("append").parquet(path)
+    sent = spark.createDataFrame(
+        [("zz-sentinel-a", -1, "A", "2024-06-01 00:00:00"),
+         ("zz-sentinel-b", -1, "B", "2024-06-01 00:00:00")],
+        "event_id string, user_id bigint, event_type string, ts_s string",
+    ).select("event_id", "user_id", "event_type", Fn.col("ts_s").cast("timestamp").alias("ts"))
+    sent.coalesce(1).write.mode("append").parquet(path)
+    src = spark.readStream.schema(df.schema).parquet(path).withWatermark("ts", "5 seconds")
+    out = match_pattern_stream(src, legs, within_seconds=30, id_col="event_id")
+    sink = ExactlyOnceParquetSink(str(tmp_path / "sink"), lineage=False)
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, sink.read_data(spark).collect()))
+    want = sorted(
+        map(tuple, match_pattern(df, legs, within_seconds=30, id_col="event_id").collect())
+    )
+    assert got == want and len(got) > 5
+    assert isinstance(got[0][1], str)
