@@ -695,3 +695,27 @@ def test_streaming_multi_agg_kill_resume_exactly_once(spark, events_stream):
         ).collect()
     }
     assert got == want  # exactly-once across the restart, all slots recovered
+
+
+def test_compile_leaves_user_expression_unmutated(spark, events_stream):
+    """ADVICE r5: the hidden-slot lowering must alias a COPY of the HAVING
+    aggregate — recompiling the same SelectBuilder (streaming, then the
+    batch oracle twin, then streaming again) must produce identical output
+    columns, with no __having_N alias leaking into the user's objects."""
+    from ksql_spark import Count, compile_select
+    from ksql_spark.expr import Conditional
+
+    cat, mgr, batch = events_stream
+    cnt = Count(F("event_id"))
+    q = (
+        Select(F("user_id"), TopK(F("value"), 3).Alias("tv"))
+        .From(Schema("ev", STREAM))
+        .GroupBy(F("user_id"))
+        .Having(Conditional(cnt, ">", 10))
+        .EmitChanges()
+    )
+    s1 = compile_select(q, spark=spark, catalog=cat, streaming=True, grace="365 days")
+    assert cnt.alias_name is None  # the user's expression object is untouched
+    s2 = compile_select(q, spark=spark, catalog=cat, streaming=True, grace="365 days")
+    assert s1.columns == s2.columns
+    assert all("__having" not in c for c in s2.columns)

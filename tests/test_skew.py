@@ -4,6 +4,7 @@ for skewed long conversations)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as Fn
 
 from ksql_spark.streaming.skew import (
@@ -144,3 +145,24 @@ def test_salted_stream_stream_join_matches_plain(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 100
+
+
+def test_salted_stream_stream_join_requires_salt_cols(spark):
+    """ADVICE r5: the stream-stream variant must reject the nondeterministic
+    monotonically_increasing_id salt fallback (not replay-stable) and
+    right-preserving join types (right rows are exploded x salt_buckets)."""
+    from ksql_spark.streaming.skew import salted_stream_stream_join
+
+    df = spark.createDataFrame([(1, 1)], "l_id bigint, k bigint").select(
+        "l_id", "k", Fn.current_timestamp().alias("l_ts")
+    )
+    rdf = df.select(Fn.col("l_id").alias("r_id"), "k", Fn.col("l_ts").alias("r_ts"))
+    with pytest.raises(ValueError, match="left_salt_cols"):
+        salted_stream_stream_join(
+            df, rdf, key="k", left_ts="l_ts", right_ts="r_ts", within_seconds=10
+        )
+    with pytest.raises(ValueError, match="right-preserving|supports how"):
+        salted_stream_stream_join(
+            df, rdf, key="k", left_ts="l_ts", right_ts="r_ts",
+            within_seconds=10, left_salt_cols=["l_id"], how="full_outer",
+        )
