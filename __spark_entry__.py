@@ -1807,6 +1807,110 @@ def streaming_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pattern_negation_legs():
+    return [
+        ("v", Fn.col("event_type") == "view", 1, 2),
+        ("nc", Fn.col("event_type") == "click", 0, 0),
+        ("p", Fn.col("event_type") == "purchase", 1, 1),
+    ]
+
+
+def q_cep_pattern_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEGATION inside the NFA pattern algebra (VERDICT r5 #3):
+    view{1,2} [NOT click] purchase per user within 24h — a consecutive
+    view-run, then a purchase strictly after it, with NO click event
+    strictly between the run's last view and the purchase (the guarded
+    gap, (ts, id) order).  Batch lowering (operators/cep_nfa.py
+    match_pattern) renders the negation leg as a time-bounded LEFT OUTER +
+    IS NULL anti-join — the streaming-legal anti-join spelling — around
+    the same banded-join chain as cep_pattern_multi.  Oracle = the
+    identical chain with a DuckDB NOT EXISTS."""
+    from ksql_spark.operators.cep_nfa import match_pattern
+
+    src = _load(spark, sf_dir, "events")
+    return match_pattern(
+        src["events"], _pattern_negation_legs(), within_seconds=86400
+    ).select("user_id", "v_first_id", "v_last_id", "v_count", "p_id")
+
+
+def streaming_cep_pattern_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME quantifier+negation pattern on a stream — which the
+    chained-join lowering cannot express (cep.py negation has no
+    quantifiers; VERDICT r5 What's-missing #3).  Still ONE
+    applyInPandasWithState store: negated events are buffered in the same
+    per-key time-horizon state as positive legs and checked against the
+    guarded gap by the kernel at anchor-close flush.  Exactly-once via the
+    flush cursor; sentinels advance the watermark.  Oracle = the batch
+    NOT-EXISTS twin."""
+    import datetime
+
+    from ksql_spark.operators.cep_nfa import match_pattern_stream
+    from ksql_spark.streaming.sink import ExactlyOnceParquetSink
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    work = tempfile.mkdtemp(prefix="ksql_driver_cepneg_")
+    events = _load(spark, sf_dir, "events")["events"]
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        events = events.withColumn("ts", Fn.col("ts").cast("timestamp"))
+    max_ts = events.agg(Fn.max("ts")).first()[0]
+    far = max_ts + datetime.timedelta(days=365)
+    sentinel = spark.createDataFrame(
+        [
+            (-1, far, -1, "view", 0.0, "{}"),
+            (-2, far, -2, "click", 0.0, "{}"),
+            (-3, far, -3, "purchase", 0.0, "{}"),
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    events.unionByName(sentinel.select(*events.columns)).write.mode("overwrite").parquet(
+        os.path.join(work, "ev")
+    )
+    src = spark.readStream.schema(events.schema).parquet(os.path.join(work, "ev"))
+    src = src.withWatermark("ts", "30 minutes")
+    m = match_pattern_stream(
+        src, _pattern_negation_legs(), within_seconds=86400
+    ).filter(Fn.col("user_id") >= 0)
+    sink = ExactlyOnceParquetSink(os.path.join(work, "engine", "cepneg"), lineage=False)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            m.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return sink.read_data(spark).select(
+        "user_id", "v_first_id", "v_last_id", "v_count", "p_id"
+    )
+
+
+def q_cep_pattern_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL leg inside the NFA pattern algebra: view [click?] purchase
+    per user within 24h, all-combinations semantics — every (view,
+    purchase) pair emits its empty-branch row (NULL click columns, count
+    0) AND one row per click strictly between them.  Batch lowering
+    expands present/absent configurations and UNION ALLs them
+    (operators/cep_nfa.py match_pattern).  Oracle = base-pair SELECT with
+    NULL literals UNION ALL the 3-way ordered join."""
+    from ksql_spark.operators.cep_nfa import match_pattern
+
+    src = _load(spark, sf_dir, "events")
+    legs = [
+        ("v", Fn.col("event_type") == "view", 1, 1),
+        ("oc", Fn.col("event_type") == "click", 0, 1),
+        ("p", Fn.col("event_type") == "purchase", 1, 1),
+    ]
+    return match_pattern(src["events"], legs, within_seconds=3600).select(
+        "user_id", "v_id", "oc_first_id", "oc_last_id", "oc_count", "p_id"
+    )
+
+
 def streaming_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skewed STREAM-STREAM join (VERDICT r4 #4): 70% of click/purchase
     traffic collapses onto one hot key (user_id%10<7 -> key 0 — a
@@ -2346,17 +2450,86 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate runs the FIRST 50
-    # entries of this dict.  Round-5 rotation (VERDICT r4 next-step #1): the
-    # 26 entries that only have r03 driver rows lead this round, starting
-    # with text_stats and the dedup family whose code changed *after* their
-    # last driver run (r3 round() -> floor() contract change; persist-scope
-    # and CC-convergence rewrites).  New round-5 entries follow so they get
-    # first-run driver rows, then the cheapest r4-green entries backfill the
-    # window.  Entries beyond 50 all have a green CORRECTNESS_r04 row; the
-    # full registry is re-verified locally every round
-    # (tools/check_correctness.py transcript in BENCH/CORRECTNESS_LOCAL).
+    # entries of this dict.  Round-6 rotation (VERDICT r5 next-step #2): the
+    # 32 entries that only have r04 driver rows lead, starting with the ones
+    # whose code changed in round 5 (bounded-HAVING rewrite, session store
+    # defaults, dedup broadcast gate, CEP event-time tag stripping).  The 3
+    # new round-6 entries (NFA negation/optional) follow, then the r5-green
+    # entries whose operator modules changed THIS round (cep_nfa.py grew
+    # negation/optional; skew.py gained the salt-cols requirement), then
+    # compile.py-dependent backfill (compile gained the hidden-slot copy
+    # fix).  Entries beyond 50 all have a green CORRECTNESS_r05 row; the
+    # full registry is re-verified locally every round with per-entry
+    # source-version hashes (tools/check_correctness.py transcript in
+    # BENCH/CORRECTNESS_LOCAL_r06.md + BENCH/ENTRY_VERSIONS.json).
     return {
-        # -- code changed after last driver run (r3) — highest priority -----
+        # -- r4-only driver rows, r5 code changes first ---------------------
+        "streaming_topk_having": streaming_topk_having,
+        "streaming_session_final": streaming_session_final,
+        "streaming_multi_agg_changelog": streaming_multi_agg_changelog,
+        "dedup_incremental": q_dedup_incremental,
+        "cep_match_sequence": q_cep_match_sequence,
+        "streaming_cep_sequence": streaming_cep_sequence,
+        "cep_negation": q_cep_negation,
+        "streaming_cep_negation": streaming_cep_negation,
+        "cep_optional": q_cep_optional,
+        "union": q_union,
+        "union_all": q_union_all,
+        "intersect": q_intersect,
+        "except": q_except,
+        "analyzer_rules": q_analyzer_rules,
+        "migrations_lifecycle": q_migrations_lifecycle,
+        # -- r4-only driver rows, code unchanged in r5 ----------------------
+        "catalog_lifecycle": q_catalog_lifecycle,
+        "select_struct": q_select_struct,
+        "collect_list": q_collect_list,
+        "collect_set": q_collect_set,
+        "latest_by_offset": q_latest_by_offset,
+        "earliest_by_offset": q_earliest_by_offset,
+        "select_once_pull": q_select_once_pull,
+        "select_with_emit": q_select_with_emit,
+        "sample_hash": q_sample_hash,
+        "sample_stratified": q_sample_stratified,
+        "chunk_documents": q_chunk_documents,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_decode": q_multimodal_decode,
+        "embed_lsh_ann": q_embed_lsh_ann,
+        "embed_lsh_ann_batch": q_embed_lsh_ann_batch,
+        "embed_lsh_ann_served": q_embed_lsh_ann_served,
+        "streaming_dedup_ingest": streaming_dedup_ingest,
+        # -- new in round 6: NFA negation + optional legs -------------------
+        "cep_pattern_negation": q_cep_pattern_negation,
+        "streaming_cep_pattern_negation": streaming_cep_pattern_negation,
+        "cep_pattern_optional": q_cep_pattern_optional,
+        # -- r5-green, but cep_nfa.py / skew.py changed this round ----------
+        "cep_quantifier": q_cep_quantifier,
+        "streaming_cep_quantifier": streaming_cep_quantifier,
+        "cep_pattern_multi": q_cep_pattern_multi,
+        "streaming_cep_pattern": streaming_cep_pattern,
+        "streaming_skew_salted_join": streaming_skew_salted_join,
+        "skew_salted_agg": q_skew_salted_agg,
+        "skew_salted_join": q_skew_salted_join,
+        # -- compile.py-dependent backfill (hidden-slot copy fix) -----------
+        "having": q_having,
+        "groupby_agg": q_groupby_agg,
+        "filter_project": q_filter_project,
+        "case_when": q_case_when,
+        "orderby_limit": q_orderby_limit,
+        "join_inner": q_join_inner,
+        "cte": q_cte,
+        "ddl_insert_roundtrip": q_ddl_insert_roundtrip,
+        # ------------------------- 50-entry line ---------------------------
+        "streaming_cep_repeat4": streaming_cep_repeat4,
+        "filter_in_null": q_filter_in_null,
+        "join_left": q_join_left,
+        "join_right": q_join_right,
+        "join_full_outer": q_join_full_outer,
+        "cross_join": q_cross_join,
+        "multi_join_revenue": q_multi_join_revenue,
+        "distinct": q_distinct,
+        "scalar_funcs": q_scalar_funcs,
+        "json_extract": q_json_extract,
+        "bool_ops": q_bool_ops,
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2366,7 +2539,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_neardup": q_embed_neardup,
         "embed_neardup_exact": q_embed_neardup_exact,
-        # -- r3-only driver rows, unchanged code ----------------------------
         "topk": q_topk,
         "topk_distinct": q_topk_distinct,
         "histogram": q_histogram,
@@ -2382,67 +2554,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_topk_changelog": streaming_topk_changelog,
         "streaming_histogram_changelog": streaming_histogram_changelog,
         "streaming_collect_set_changelog": streaming_collect_set_changelog,
-        "skew_salted_agg": q_skew_salted_agg,
-        "skew_salted_join": q_skew_salted_join,
-        # -- new in round 5 -------------------------------------------------
-        "cep_quantifier": q_cep_quantifier,
-        "streaming_cep_quantifier": streaming_cep_quantifier,
-        "streaming_skew_salted_join": streaming_skew_salted_join,
-        "streaming_cep_repeat4": streaming_cep_repeat4,
-        "cep_pattern_multi": q_cep_pattern_multi,
-        "streaming_cep_pattern": streaming_cep_pattern,
-        # -- driver-green in r4 (cheap re-confirmations fill the window) ----
-        "filter_project": q_filter_project,
-        "filter_in_null": q_filter_in_null,
-        "case_when": q_case_when,
-        "groupby_agg": q_groupby_agg,
-        "having": q_having,
-        "orderby_limit": q_orderby_limit,
-        "join_inner": q_join_inner,
-        "join_left": q_join_left,
-        "join_right": q_join_right,
-        "join_full_outer": q_join_full_outer,
-        "cross_join": q_cross_join,
-        "multi_join_revenue": q_multi_join_revenue,
-        "cte": q_cte,
-        "distinct": q_distinct,
-        "scalar_funcs": q_scalar_funcs,
-        "json_extract": q_json_extract,
-        "bool_ops": q_bool_ops,
-        "ddl_insert_roundtrip": q_ddl_insert_roundtrip,
-        # ------------------------- 50-entry line ---------------------------
-        "catalog_lifecycle": q_catalog_lifecycle,
-        "select_struct": q_select_struct,
-        "collect_list": q_collect_list,
-        "collect_set": q_collect_set,
-        "latest_by_offset": q_latest_by_offset,
-        "earliest_by_offset": q_earliest_by_offset,
-        "analyzer_rules": q_analyzer_rules,
-        "migrations_lifecycle": q_migrations_lifecycle,
-        "select_once_pull": q_select_once_pull,
-        "select_with_emit": q_select_with_emit,
-        "union": q_union,
-        "union_all": q_union_all,
-        "intersect": q_intersect,
-        "except": q_except,
-        "sample_hash": q_sample_hash,
-        "sample_stratified": q_sample_stratified,
-        "chunk_documents": q_chunk_documents,
-        "cep_match_sequence": q_cep_match_sequence,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_decode": q_multimodal_decode,
-        "embed_lsh_ann": q_embed_lsh_ann,
-        "embed_lsh_ann_batch": q_embed_lsh_ann_batch,
-        "streaming_dedup_ingest": streaming_dedup_ingest,
-        "streaming_cep_sequence": streaming_cep_sequence,
-        "cep_negation": q_cep_negation,
-        "streaming_cep_negation": streaming_cep_negation,
-        "cep_optional": q_cep_optional,
-        "dedup_incremental": q_dedup_incremental,
-        "embed_lsh_ann_served": q_embed_lsh_ann_served,
-        "streaming_topk_having": streaming_topk_having,
-        "streaming_session_final": streaming_session_final,
-        "streaming_multi_agg_changelog": streaming_multi_agg_changelog,
     }
 
 
@@ -2534,6 +2645,50 @@ def oracle_sql() -> dict[str, str]:
         JOIN p ON p.user_id = f.user_id
               AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
               AND p.ts <= f.ts + INTERVAL '86400 seconds'
+    """
+    cep_pattern_negation_sql = """
+        WITH v AS (
+            SELECT user_id, event_id, ts,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type = 'view'
+        ), p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+        SELECT f.user_id,
+               f.event_id AS v_first_id, l.event_id AS v_last_id,
+               (l.rn - f.rn + 1) AS v_count,
+               p.event_id AS p_id
+        FROM v f
+        JOIN v l ON l.user_id = f.user_id AND l.rn - f.rn BETWEEN 0 AND 1
+                AND l.ts <= f.ts + INTERVAL '86400 seconds'
+        JOIN p ON p.user_id = f.user_id
+              AND (p.ts > l.ts OR (p.ts = l.ts AND p.event_id > l.event_id))
+              AND p.ts <= f.ts + INTERVAL '86400 seconds'
+        WHERE NOT EXISTS (
+            SELECT 1 FROM events n
+            WHERE n.user_id = f.user_id AND n.event_type = 'click'
+              AND (n.ts > l.ts OR (n.ts = l.ts AND n.event_id > l.event_id))
+              AND (n.ts < p.ts OR (n.ts = p.ts AND n.event_id < p.event_id)))
+    """
+    cep_pattern_optional_sql = """
+        WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+             c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+             p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+             base AS (
+                 SELECT v.user_id, v.event_id AS v_id, v.ts AS v_ts,
+                        p.event_id AS p_id, p.ts AS p_ts
+                 FROM v JOIN p ON p.user_id = v.user_id
+                   AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
+                   AND p.ts <= v.ts + INTERVAL '3600 seconds')
+        SELECT user_id, v_id, CAST(NULL AS BIGINT) AS oc_first_id,
+               CAST(NULL AS BIGINT) AS oc_last_id, CAST(0 AS BIGINT) AS oc_count, p_id
+        FROM base
+        UNION ALL
+        SELECT b.user_id, b.v_id, c.event_id AS oc_first_id,
+               c.event_id AS oc_last_id, CAST(1 AS BIGINT) AS oc_count, b.p_id
+        FROM base b
+        JOIN c ON c.user_id = b.user_id
+              AND (c.ts > b.v_ts OR (c.ts = b.v_ts AND c.event_id > b.v_id))
+              AND (c.ts < b.p_ts OR (c.ts = b.p_ts AND c.event_id < b.p_id))
+              AND c.ts <= b.v_ts + INTERVAL '3600 seconds'
     """
     collect_set_sql = """
         SELECT user_id,
@@ -2859,6 +3014,9 @@ def oracle_sql() -> dict[str, str]:
         "streaming_cep_quantifier": cep_quantifier_sql,
         "cep_pattern_multi": cep_pattern_multi_sql,
         "streaming_cep_pattern": cep_pattern_multi_sql,
+        "cep_pattern_negation": cep_pattern_negation_sql,
+        "streaming_cep_pattern_negation": cep_pattern_negation_sql,
+        "cep_pattern_optional": cep_pattern_optional_sql,
         "streaming_cep_repeat4": """
             WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
                  p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')

@@ -50,6 +50,9 @@ HEADLINE = [
     "streaming_cep_quantifier",
     "cep_pattern_multi",
     "streaming_cep_pattern",
+    "cep_pattern_negation",
+    "streaming_cep_pattern_negation",
+    "cep_pattern_optional",
     "streaming_cep_repeat4",
     "streaming_skew_salted_join",
     "streaming_topk_having",
