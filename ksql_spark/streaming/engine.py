@@ -17,7 +17,10 @@ idempotent sink give the north rule's no-duplicates/no-gaps guarantee
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
+import re
 from typing import Any, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,6 +32,57 @@ from ..operators.compile import DEFAULT_GRACE, compile_select
 from ..sources.catalog import QUERYABLE_PREFIX, Catalog, Relation
 from .metrics import EngineMetricsListener
 from .sink import OP_APPEND, OP_UPSERT, ExactlyOnceParquetSink
+
+
+_STATE_NODE_RE = re.compile(
+    r"FlatMapGroupsInPandasWithState [^\n]*?"
+    r"(\[StructField\([^\]]*\)\]), (\w+), (\w+Timeout)"
+)
+
+
+def _state_schema_descriptor(df: DataFrame) -> list[list[str]] | None:
+    """Extract every custom stateful operator's (state schema, output mode,
+    timeout) from the analyzed plan — the persisted RocksDB state layout of
+    the bounded/session operators.  None when the plan has no custom
+    stateful op (native windowed aggregates are covered by Spark's own
+    state-schema compatibility checker)."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    found = [[m.group(1), m.group(2), m.group(3)] for m in _STATE_NODE_RE.finditer(plan)]
+    return found or None
+
+
+def check_state_schema(checkpoint: str, descriptor: list[list[str]], query: str) -> None:
+    """VERDICT r5 #6: refuse to resume a checkpoint whose persisted state
+    layout no longer matches the compiled plan (e.g. the query gained an
+    aggregate) — a NAMED error instead of silent state corruption.
+
+    The descriptor is recorded at first start under
+    ``<checkpoint>/_ksql_state_schema.json``.  On restart with committed
+    progress, a mismatch raises :class:`AnalysisError` with the migration
+    recipe.  A pre-existing checkpoint without a recording (created before
+    this guard) is stamped as-is."""
+    marker = os.path.join(checkpoint, "_ksql_state_schema.json")
+    fp = hashlib.sha256(json.dumps(descriptor).encode()).hexdigest()[:16]
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            rec = json.load(fh)
+        if rec.get("fingerprint") != fp:
+            raise AnalysisError(
+                f"query {query!r} cannot resume from checkpoint {checkpoint}: "
+                f"the compiled state schema {descriptor} differs from the "
+                f"persisted one {rec.get('descriptor')} (recorded fingerprint "
+                f"{rec.get('fingerprint')}, compiled {fp}).  A stateful "
+                f"operator's aggregate list/types changed across the restart. "
+                f"Migration recipes: (a) drain the old query with EMIT FINAL, "
+                f"then start the new shape under a fresh checkpoint; (b) "
+                f"rebuild state by replaying the source into a fresh "
+                f"checkpoint; (c) if the change was unintentional, restore "
+                f"the original SELECT"
+            )
+        return
+    os.makedirs(checkpoint, exist_ok=True)
+    with open(marker, "w") as fh:
+        json.dump({"fingerprint": fp, "descriptor": descriptor}, fh)
 
 
 class PersistentQuery:
@@ -172,6 +226,9 @@ class PersistentQueryManager:
             self.spark.conf.set(conf_key, str(pq.state_partitions))
         try:
             df = self._compile_streaming(pq.create, max_files_per_trigger)
+            desc = _state_schema_descriptor(df)
+            if desc is not None:
+                check_state_schema(pq.checkpoint, desc, pq.name)
             writer = (
                 df.writeStream.foreachBatch(pq.sink)
                 .outputMode(self._output_mode(pq.create))

@@ -719,3 +719,38 @@ def test_compile_leaves_user_expression_unmutated(spark, events_stream):
     s2 = compile_select(q, spark=spark, catalog=cat, streaming=True, grace="365 days")
     assert s1.columns == s2.columns
     assert all("__having" not in c for c in s2.columns)
+
+
+def test_state_schema_change_across_resume_raises(spark, events_stream):
+    """VERDICT r5 #6: a bounded-op query that gains an aggregate across a
+    checkpoint resume must fail with a NAMED AnalysisError (+ migration
+    recipe), never silently deserialize the old state into the new layout."""
+    from ksql_spark import Count
+    from ksql_spark.errors import AnalysisError
+
+    cat, mgr, batch = events_stream
+    q1 = (
+        Select(F("user_id"), TopK(F("value"), 3).Alias("tv"))
+        .From(Schema("ev", STREAM))
+        .GroupBy(F("user_id"))
+        .EmitChanges()
+    )
+    csas = Create(TABLE, "ssm").AsSelect(q1)
+    pq = mgr.create_as_select(csas, available_now=True, await_termination=True)
+    assert pq.sink.committed_batches()
+
+    # the user edits the DDL: same query name, one more aggregate slot
+    q2 = (
+        Select(F("user_id"), TopK(F("value"), 3).Alias("tv"),
+               Count(F("event_id")).Alias("n"))
+        .From(Schema("ev", STREAM))
+        .GroupBy(F("user_id"))
+        .EmitChanges()
+    )
+    pq.create = Create(TABLE, "ssm").AsSelect(q2)
+    with pytest.raises(AnalysisError, match="state schema|cannot resume"):
+        mgr.resume("ssm", available_now=True, await_termination=True)
+
+    # restoring the original SELECT (recipe c) resumes cleanly
+    pq.create = csas
+    mgr.resume("ssm", available_now=True, await_termination=True)
