@@ -27,6 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as Fn
 
+from ksql_spark.functions.numeric import portable_round
+
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 TABLES = [
@@ -124,7 +126,7 @@ def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "l_linestatus",
         Fn.round("sum_qty", 4).alias("sum_qty"),
-        Fn.round("avg_price", 4).alias("avg_price"),
+        portable_round(Fn.col("avg_price"), 4).alias("avg_price"),
         Fn.round("min_disc", 4).alias("min_disc"),
         Fn.round("max_tax", 4).alias("max_tax"),
         "cnt",
@@ -1043,7 +1045,7 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         Fn.round("sum_val", 4).alias("sum_val"),
         Fn.round("min_val", 6).alias("min_val"),
         Fn.round("max_val", 6).alias("max_val"),
-        Fn.round("avg_val", 6).alias("avg_val"),
+        portable_round(Fn.col("avg_val")).alias("avg_val"),
     )
 
 
@@ -1273,7 +1275,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "kind",
         "n_bytes",
-        Fn.round(Fn.element_at("features", 1).cast("double"), 6).alias("f0"),
+        portable_round(Fn.element_at("features", 1).cast("double")).alias("f0"),
     )
 
 
@@ -2191,7 +2193,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "kind",
         *[
-            Fn.round(Fn.element_at("features", i + 1), 6).alias(f"f{i}")
+            portable_round(Fn.element_at("features", i + 1)).alias(f"f{i}")
             for i in range(4)
         ],
     )
@@ -2749,7 +2751,7 @@ def oracle_sql() -> dict[str, str]:
         "groupby_agg": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,
-                   round(avg(l_extendedprice), 4) AS avg_price,
+                   (floor(avg(l_extendedprice) * 10000.0 + 0.5) / 10000.0) AS avg_price,
                    round(min(l_discount), 4) AS min_disc,
                    round(max(l_tax), 4) AS max_tax,
                    count(l_orderkey) AS cnt
@@ -2894,7 +2896,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_val,
                    round(min(value), 6) AS min_val,
                    round(max(value), 6) AS max_val,
-                   round(avg(value), 6) AS avg_val
+                   (floor(avg(value) * 1000000.0 + 0.5) / 1000000.0) AS avg_val
             FROM events GROUP BY event_type
         """,
         "skew_salted_join": """

@@ -32,6 +32,8 @@ from contextlib import contextmanager
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.numeric import portable_round
+
 from pyspark import StorageLevel
 
 from ..functions.text import fingerprint, normalize_text, portable_hash60
@@ -381,7 +383,7 @@ def ngram_jaccard_pairs(
         pairs.select(
             F.col("l.id").alias("id_l"),
             F.col("r.id").alias("id_r"),
-            F.round(jaccard(F.col("l.sh"), F.col("r.sh")), 6).alias("jaccard_sim"),
+            portable_round(jaccard(F.col("l.sh"), F.col("r.sh"))).alias("jaccard_sim"),
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )
@@ -460,7 +462,7 @@ def minhash_lsh_pairs(
         .select(
             "id_l",
             "id_r",
-            F.round(jaccard(F.col("sh_l"), F.col("sh_r")), 6).alias("jaccard_sim"),
+            portable_round(jaccard(F.col("sh_l"), F.col("sh_r"))).alias("jaccard_sim"),
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )
@@ -596,7 +598,7 @@ def minhash_lsh_pairs_incremental(
         .select(
             "id_l",
             "id_r",
-            F.round(jaccard(F.col("sh_l"), F.col("sh_r")), 6).alias("jaccard_sim"),
+            portable_round(jaccard(F.col("sh_l"), F.col("sh_r"))).alias("jaccard_sim"),
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )
@@ -754,7 +756,7 @@ def embedding_neardup_pairs(
         .select(
             F.col("l.id").alias("id_l"),
             F.col("r.id").alias("id_r"),
-            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cosine_sim"),
+            portable_round(cosine(F.col("l.v"), F.col("r.v"))).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -849,7 +851,7 @@ def embedding_neardup_pairs_lsh(
         .select(
             "id_l",
             "id_r",
-            F.round(cosine(F.col("v_l"), F.col("v_r")), 6).alias("cosine_sim"),
+            portable_round(cosine(F.col("v_l"), F.col("v_r"))).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.numeric import portable_round
+
 from ..functions.vectors import cosine, dot, vec_lit
 
 
@@ -105,7 +107,7 @@ def cosine_topk(
     """
     scored = df.select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), vec_lit(query_vec)), 6).alias("cosine_sim"),
+        portable_round(cosine(F.col(vec_col), vec_lit(query_vec))).alias("cosine_sim"),
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
 
@@ -158,7 +160,7 @@ def lsh_topk(
     return (
         bucketed.select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), vec_lit(query_vec)), 6).alias("cosine_sim"),
+            portable_round(cosine(F.col(vec_col), vec_lit(query_vec))).alias("cosine_sim"),
         )
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
@@ -239,7 +241,7 @@ def lsh_topk_batch(
         .select(
             "__qid",
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+            portable_round(cosine(F.col(vec_col), F.col("__qvec"))).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("__qid").orderBy(F.desc("cosine_sim"), F.asc(id_col))

@@ -45,7 +45,7 @@ def sql_ngram_jaccard_pairs(shingle_n: int = 3, threshold: float = 0.7) -> str:
     return f"""
         WITH d AS (SELECT doc_id, {sh} AS sh FROM documents)
         SELECT l.doc_id AS id_l, r.doc_id AS id_r,
-               round({_sql_jaccard('l.sh', 'r.sh')}, 6) AS jaccard_sim
+               (floor(({_sql_jaccard('l.sh', 'r.sh')}) * 1000000.0 + 0.5) / 1000000.0) AS jaccard_sim
         FROM d l JOIN d r ON l.doc_id < r.doc_id
         WHERE {_sql_jaccard('l.sh', 'r.sh')} >= {threshold}
     """
@@ -70,7 +70,7 @@ def sql_minhash_pairs_incremental(
     return f"""
         WITH d AS (SELECT doc_id, {sh} AS sh FROM documents)
         SELECT l.doc_id AS id_l, r.doc_id AS id_r,
-               round({_sql_jaccard('l.sh', 'r.sh')}, 6) AS jaccard_sim
+               (floor(({_sql_jaccard('l.sh', 'r.sh')}) * 1000000.0 + 0.5) / 1000000.0) AS jaccard_sim
         FROM d l JOIN d r ON l.doc_id < r.doc_id
         WHERE {_sql_jaccard('l.sh', 'r.sh')} >= {threshold}
           AND (l.doc_id % {delta_mod} = 0 OR r.doc_id % {delta_mod} = 0)
@@ -103,7 +103,7 @@ def _sql_cosine(a: str, b: str) -> str:
 def sql_embed_cosine_topk(k: int = 10) -> str:
     cos = _sql_cosine("e.embedding", "q.embedding")
     return f"""
-        SELECT e.vec_id, round({cos}, 6) AS cosine_sim
+        SELECT e.vec_id, (floor(({cos}) * 1000000.0 + 0.5) / 1000000.0) AS cosine_sim
         FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         WHERE e.vec_id != 0
         ORDER BY cosine_sim DESC, e.vec_id ASC LIMIT {k}
@@ -113,7 +113,7 @@ def sql_embed_cosine_topk(k: int = 10) -> str:
 def sql_embed_neardup(threshold: float = 0.9) -> str:
     cos = _sql_cosine("l.embedding", "r.embedding")
     return f"""
-        SELECT l.vec_id AS id_l, r.vec_id AS id_r, round({cos}, 6) AS cosine_sim
+        SELECT l.vec_id AS id_l, r.vec_id AS id_r, (floor(({cos}) * 1000000.0 + 0.5) / 1000000.0) AS cosine_sim
         FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
         WHERE {cos} >= {threshold}
     """
@@ -144,7 +144,7 @@ def sql_embed_neardup_planted(threshold: float = 0.99, n_dims: int = 64) -> str:
     cos = _sql_cosine("l.embedding", "r.embedding")
     return f"""
         WITH emb AS {sql_embeddings_planted_cte(n_dims)}
-        SELECT l.vec_id AS id_l, r.vec_id AS id_r, round({cos}, 6) AS cosine_sim
+        SELECT l.vec_id AS id_l, r.vec_id AS id_r, (floor(({cos}) * 1000000.0 + 0.5) / 1000000.0) AS cosine_sim
         FROM emb l JOIN emb r ON l.vec_id < r.vec_id
         WHERE {cos} >= {threshold}
     """
@@ -179,7 +179,7 @@ def sql_embed_lsh_ann(k: int = 10, n_planes: int = 8, n_dims: int = 64) -> str:
              b AS (SELECT vec_id, embedding,
                           {sql_bucket_expr("embedding", planes)} AS bucket
                    FROM embeddings WHERE vec_id != 0)
-        SELECT b.vec_id, round({cos}, 6) AS cosine_sim
+        SELECT b.vec_id, (floor(({cos}) * 1000000.0 + 0.5) / 1000000.0) AS cosine_sim
         FROM b, q, qb
         WHERE bit_count(xor(b.bucket, qb.bucket)) <= 1
         ORDER BY cosine_sim DESC, b.vec_id ASC LIMIT {k}
@@ -234,7 +234,7 @@ def sql_embed_lsh_ann_batch(
              probed AS (SELECT qid, unnest([{probes}]) AS bucket FROM q),
              cand AS (SELECT p.qid, c.vec_id FROM probed p JOIN c ON c.bucket = p.bucket),
              scored AS (
-                 SELECT cand.qid, cand.vec_id, round({cos}, 6) AS cosine_sim
+                 SELECT cand.qid, cand.vec_id, (floor(({cos}) * 1000000.0 + 0.5) / 1000000.0) AS cosine_sim
                  FROM cand
                  JOIN embeddings cv ON cv.vec_id = cand.vec_id
                  JOIN embeddings qv ON qv.vec_id = cand.qid),
@@ -263,10 +263,10 @@ def sql_multimodal_decode(n: int = 64, seed: int = 42) -> str:
         ),
         img AS (
             SELECT i,
-                   round((sum(byte) / 192) / 255.0, 6) AS f0,
-                   round((sum(CASE WHEN j % 3 = 0 THEN byte END) / 64) / 255.0, 6) AS f1,
-                   round((sum(CASE WHEN j % 3 = 1 THEN byte END) / 64) / 255.0, 6) AS f2,
-                   round((sum(CASE WHEN j % 3 = 2 THEN byte END) / 64) / 255.0, 6) AS f3
+                   (floor(((sum(byte) / 192) / 255.0) * 1000000.0 + 0.5) / 1000000.0) AS f0,
+                   (floor(((sum(CASE WHEN j % 3 = 0 THEN byte END) / 64) / 255.0) * 1000000.0 + 0.5) / 1000000.0) AS f1,
+                   (floor(((sum(CASE WHEN j % 3 = 1 THEN byte END) / 64) / 255.0) * 1000000.0 + 0.5) / 1000000.0) AS f2,
+                   (floor(((sum(CASE WHEN j % 3 = 2 THEN byte END) / 64) / 255.0) * 1000000.0 + 0.5) / 1000000.0) AS f3
             FROM b WHERE i % 3 = 0 AND j < 192 GROUP BY i
         ),
         aud_s AS (
@@ -276,18 +276,18 @@ def sql_multimodal_decode(n: int = 64, seed: int = 42) -> str:
         ),
         aud AS (
             SELECT i,
-                   round((sum(v) / 128) / 32768.0, 6) AS f0,
-                   round(sqrt(sum(v * v) / 128) / 32768.0, 6) AS f1,
-                   round(max(abs(v)) / 32768.0, 6) AS f2,
-                   round(128 / 65536.0, 6) AS f3
+                   (floor(((sum(v) / 128) / 32768.0) * 1000000.0 + 0.5) / 1000000.0) AS f0,
+                   (floor((sqrt(sum(v * v) / 128) / 32768.0) * 1000000.0 + 0.5) / 1000000.0) AS f1,
+                   (floor((max(abs(v)) / 32768.0) * 1000000.0 + 0.5) / 1000000.0) AS f2,
+                   (floor((128 / 65536.0) * 1000000.0 + 0.5) / 1000000.0) AS f3
             FROM aud_s GROUP BY i
         ),
         vid AS (
             SELECT i,
-                   round((sum(byte) / 192) / 255.0, 6) AS f0,
-                   round(4 / 256.0, 6) AS f1,
-                   round(4 / 4096.0, 6) AS f2,
-                   round(4 / 4096.0, 6) AS f3
+                   (floor(((sum(byte) / 192) / 255.0) * 1000000.0 + 0.5) / 1000000.0) AS f0,
+                   (floor((4 / 256.0) * 1000000.0 + 0.5) / 1000000.0) AS f1,
+                   (floor((4 / 4096.0) * 1000000.0 + 0.5) / 1000000.0) AS f2,
+                   (floor((4 / 4096.0) * 1000000.0 + 0.5) / 1000000.0) AS f3
             FROM b WHERE i % 3 = 2 AND j < 192 GROUP BY i
         ),
         allr AS (
