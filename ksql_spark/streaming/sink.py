@@ -207,7 +207,10 @@ class IcebergChangelogSink:
         this epoch (or a later one — re-delivery is always of old epochs)."""
         return last_committed is not None and int(last_committed) >= batch_id
 
-    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:  # pragma: no cover
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # executed in pytest against a contract double (no Iceberg runtime
+        # in the sandbox): tests/test_streaming.py drives the skip branch,
+        # the merge ordering, and the __op column end-to-end
         spark = batch_df.sparkSession
         last = spark.sql(self.last_epoch_sql()).collect()
         if last and self.should_skip(last[0]["v"], batch_id):
