@@ -116,7 +116,21 @@ def pattern_matches(
     m0, n0 = bounds[0]
     n_legs = len(leg_events)
 
-    def neg_limit(pending: list[int], start_after: tuple[int, int]):
+    if work_cap is None:
+        emit = out.append
+    else:
+        def emit(tup: tuple) -> None:
+            out.append(tup)
+            if len(out) > work_cap:
+                raise PatternWorkCapExceeded(
+                    f"pattern evaluation produced more than {work_cap} "
+                    f"matches for one key in one flush (all-combinations "
+                    f"semantics over a dense quantified run); raise the cap, "
+                    f"narrow the quantifier bounds, or shrink the "
+                    f"within-window"
+                )
+
+    def neg_limit(pending: tuple, start_after: tuple[int, int]):
         """Earliest pending-negation event after ``start_after`` (the next
         consumed element must be <= it), or None if unconstrained."""
         limit = None
@@ -129,51 +143,52 @@ def pattern_matches(
                     limit = e
         return limit
 
-    def emit(tup: tuple) -> None:
-        out.append(tup)
-        if work_cap is not None and len(out) > work_cap:
-            raise PatternWorkCapExceeded(
-                f"pattern evaluation produced more than {work_cap} matches "
-                f"for one key in one flush (all-combinations semantics over "
-                f"a dense quantified run); raise the cap, narrow the "
-                f"quantifier bounds, or shrink the within-window"
-            )
-
     def rec(
         leg_idx: int,
         start_after: tuple[int, int],
         horizon: int,
         acc: list,
         anchor_ts: int,
-        pending: list[int],
+        pending: tuple,
     ) -> None:
-        if leg_idx == n_legs:
-            emit(tuple(acc) + (anchor_ts,))
-            return
         evs = leg_events[leg_idx]
         m, n = bounds[leg_idx]
-        if (m, n) == (0, 0):  # negation: guard deferred to next consumed elem
-            rec(leg_idx + 1, start_after, horizon, acc + [(None, None, 0)],
-                anchor_ts, pending + [leg_idx])
-            return
-        if m == 0:  # optional: the empty-run branch always exists
+        if m == 0:
+            if n == 0:  # negation: guard deferred to the next consumed elem
+                rec(leg_idx + 1, start_after, horizon,
+                    acc + [(None, None, 0)], anchor_ts, pending + (leg_idx,))
+                return
+            # optional: the empty-run branch always exists (the final leg is
+            # positive by validation, so leg_idx + 1 < n_legs here)
             rec(leg_idx + 1, start_after, horizon, acc + [(None, None, 0)],
                 anchor_ts, pending)
-        limit = neg_limit(pending, start_after) if pending else None
+            m = 1
+        if pending:
+            limit = neg_limit(pending, start_after)
+            pending = ()
+        else:
+            limit = None
         lo = bisect.bisect_right(evs, start_after)
-        for j in range(lo, len(evs)):
-            f_ts, f_id = evs[j]
+        n_evs = len(evs)
+        last_leg = leg_idx + 1 == n_legs
+        for j in range(lo, n_evs):
+            ev = evs[j]
+            f_ts = ev[0]
             if f_ts > horizon:
                 break
-            if limit is not None and (f_ts, f_id) > limit:
+            if limit is not None and ev > limit:
                 break  # a guarded-gap violation; sorted, so all later too
-            max_len = len(evs) - j if n is None else min(max(n, 1), len(evs) - j)
-            for run_len in range(max(m, 1), max_len + 1):
+            max_len = n_evs - j if n is None else min(n, n_evs - j)
+            f_id = ev[1]
+            for run_len in range(m, max_len + 1):
                 l_ts, l_id = evs[j + run_len - 1]
                 if l_ts > horizon:
                     break
                 nxt = acc + [(f_id, l_id, run_len)]
-                rec(leg_idx + 1, (l_ts, l_id), horizon, nxt, anchor_ts, [])
+                if last_leg:
+                    emit(tuple(nxt) + (anchor_ts,))
+                else:
+                    rec(leg_idx + 1, (l_ts, l_id), horizon, nxt, anchor_ts, ())
         return
 
     for i, (a_ts, a_id) in enumerate(leg0):
@@ -191,7 +206,7 @@ def pattern_matches(
             if n_legs == 1:
                 emit((head, a_ts))
             else:
-                rec(1, (l_ts, l_id), horizon, [head], a_ts, [])
+                rec(1, (l_ts, l_id), horizon, [head], a_ts, ())
         new_cursor = (a_ts, a_id)
     return out, new_cursor
 
