@@ -1913,6 +1913,80 @@ def q_cep_pattern_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cep_pattern_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AFTER MATCH ``first`` (round-6 follow-on): the view{1,2} click
+    purchase pattern of cep_pattern_multi, but emitting ONE row per user —
+    the first match in the NFA kernel's canonical enumeration order
+    (anchor ascending, then per-leg (first_ts, first_id, last_ts, last_id)
+    ascending; run-length ties break short-run-first).  Batch lowering =
+    the all-matches banded-join algebra plus one per-key row_number over
+    the order tuples (operators/cep_nfa.py match_pattern mode='first').
+    Oracle = the identical chain wrapped in the identical row_number."""
+    from ksql_spark.operators.cep_nfa import match_pattern
+
+    src = _load(spark, sf_dir, "events")
+    return match_pattern(
+        src["events"], _pattern_legs(), within_seconds=86400, mode="first"
+    ).select("user_id", "v_first_id", "v_last_id", "v_count", "c_id", "p_id")
+
+
+def streaming_cep_pattern_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME first-match contract on a STREAM — the alert-style mode the
+    chained-join lowering cannot express at all (it has no cross-match
+    state).  Still ONE applyInPandasWithState store: the kernel enumerates
+    in canonical order and aborts at the first match; the key's state then
+    collapses to an O(1) done tombstone, so a matched key buffers nothing
+    and re-emits nothing for the rest of the stream.  Matches emit at
+    anchor close (determinism under late data), exactly-once via the flush
+    cursor.  Oracle = the batch row_number twin."""
+    import datetime
+
+    from ksql_spark.operators.cep_nfa import match_pattern_stream
+    from ksql_spark.streaming.sink import ExactlyOnceParquetSink
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    work = tempfile.mkdtemp(prefix="ksql_driver_cepfirst_")
+    events = _load(spark, sf_dir, "events")["events"]
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        events = events.withColumn("ts", Fn.col("ts").cast("timestamp"))
+    max_ts = events.agg(Fn.max("ts")).first()[0]
+    far = max_ts + datetime.timedelta(days=365)
+    sentinel = spark.createDataFrame(
+        [
+            (-1, far, -1, "view", 0.0, "{}"),
+            (-2, far, -2, "click", 0.0, "{}"),
+            (-3, far, -3, "purchase", 0.0, "{}"),
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    events.unionByName(sentinel.select(*events.columns)).write.mode("overwrite").parquet(
+        os.path.join(work, "ev")
+    )
+    src = spark.readStream.schema(events.schema).parquet(os.path.join(work, "ev"))
+    src = src.withWatermark("ts", "30 minutes")
+    m = match_pattern_stream(
+        src, _pattern_legs(), within_seconds=86400, mode="first"
+    ).filter(Fn.col("user_id") >= 0)
+    sink = ExactlyOnceParquetSink(os.path.join(work, "engine", "cepfirst"), lineage=False)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            m.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return sink.read_data(spark).select(
+        "user_id", "v_first_id", "v_last_id", "v_count", "c_id", "p_id"
+    )
+
+
 def streaming_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skewed STREAM-STREAM join (VERDICT r4 #4): 70% of click/purchase
     traffic collapses onto one hot key (user_id%10<7 -> key 0 — a
@@ -2455,8 +2529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries of this dict.  Round-6 rotation (VERDICT r5 next-step #2): the
     # 32 entries that only have r04 driver rows lead, starting with the ones
     # whose code changed in round 5 (bounded-HAVING rewrite, session store
-    # defaults, dedup broadcast gate, CEP event-time tag stripping).  The 3
-    # new round-6 entries (NFA negation/optional) follow, then the r5-green
+    # defaults, dedup broadcast gate, CEP event-time tag stripping).  The 5
+    # new round-6 entries (NFA negation/optional/AFTER-MATCH-first) follow, then the r5-green
     # entries whose operator modules changed THIS round (cep_nfa.py grew
     # negation/optional; skew.py gained the salt-cols requirement), then
     # compile.py-dependent backfill (compile gained the hidden-slot copy
@@ -2499,10 +2573,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_lsh_ann_batch": q_embed_lsh_ann_batch,
         "embed_lsh_ann_served": q_embed_lsh_ann_served,
         "streaming_dedup_ingest": streaming_dedup_ingest,
-        # -- new in round 6: NFA negation + optional legs -------------------
+        # -- new in round 6: NFA negation + optional legs + first mode ------
         "cep_pattern_negation": q_cep_pattern_negation,
         "streaming_cep_pattern_negation": streaming_cep_pattern_negation,
         "cep_pattern_optional": q_cep_pattern_optional,
+        "cep_pattern_first": q_cep_pattern_first,
+        "streaming_cep_pattern_first": streaming_cep_pattern_first,
         # -- r5-green, but cep_nfa.py / skew.py changed this round ----------
         "cep_quantifier": q_cep_quantifier,
         "streaming_cep_quantifier": streaming_cep_quantifier,
@@ -2518,9 +2594,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "case_when": q_case_when,
         "orderby_limit": q_orderby_limit,
         "join_inner": q_join_inner,
+        # ------------------------- 50-entry line ---------------------------
         "cte": q_cte,
         "ddl_insert_roundtrip": q_ddl_insert_roundtrip,
-        # ------------------------- 50-entry line ---------------------------
         "streaming_cep_repeat4": streaming_cep_repeat4,
         "filter_in_null": q_filter_in_null,
         "join_left": q_join_left,
@@ -2647,6 +2723,34 @@ def oracle_sql() -> dict[str, str]:
         JOIN p ON p.user_id = f.user_id
               AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
               AND p.ts <= f.ts + INTERVAL '86400 seconds'
+    """
+    cep_pattern_first_sql = """
+        WITH v AS (
+            SELECT user_id, event_id, ts,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type = 'view'
+        ), c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+           p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+           m AS (
+            SELECT f.user_id,
+                   f.event_id AS v_first_id, l.event_id AS v_last_id,
+                   (l.rn - f.rn + 1) AS v_count,
+                   c.event_id AS c_id, p.event_id AS p_id,
+                   row_number() OVER (
+                       PARTITION BY f.user_id
+                       ORDER BY f.ts, f.event_id, l.ts, l.event_id,
+                                c.ts, c.event_id, p.ts, p.event_id) AS mrn
+            FROM v f
+            JOIN v l ON l.user_id = f.user_id AND l.rn - f.rn BETWEEN 0 AND 1
+                    AND l.ts <= f.ts + INTERVAL '86400 seconds'
+            JOIN c ON c.user_id = f.user_id
+                  AND (c.ts > l.ts OR (c.ts = l.ts AND c.event_id > l.event_id))
+                  AND c.ts <= f.ts + INTERVAL '86400 seconds'
+            JOIN p ON p.user_id = f.user_id
+                  AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+                  AND p.ts <= f.ts + INTERVAL '86400 seconds')
+        SELECT user_id, v_first_id, v_last_id, v_count, c_id, p_id
+        FROM m WHERE mrn = 1
     """
     cep_pattern_negation_sql = """
         WITH v AS (
@@ -3019,6 +3123,8 @@ def oracle_sql() -> dict[str, str]:
         "cep_pattern_negation": cep_pattern_negation_sql,
         "streaming_cep_pattern_negation": cep_pattern_negation_sql,
         "cep_pattern_optional": cep_pattern_optional_sql,
+        "cep_pattern_first": cep_pattern_first_sql,
+        "streaming_cep_pattern_first": cep_pattern_first_sql,
         "streaming_cep_repeat4": """
             WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
                  p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')

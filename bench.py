@@ -53,6 +53,8 @@ HEADLINE = [
     "cep_pattern_negation",
     "streaming_cep_pattern_negation",
     "cep_pattern_optional",
+    "cep_pattern_first",
+    "streaming_cep_pattern_first",
     "streaming_cep_repeat4",
     "streaming_skew_salted_join",
     "streaming_topk_having",

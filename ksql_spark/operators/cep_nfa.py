@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     LongType,
     StructField,
     StructType,
@@ -76,6 +77,10 @@ class PatternWorkCapExceeded(RuntimeError):
     stalling the key's state partition (VERDICT r5 What's-wrong #2)."""
 
 
+class _FirstFound(Exception):
+    """Internal: aborts enumeration after the first match (first-only mode)."""
+
+
 def pattern_matches(
     leg_events: list[list[tuple[int, int]]],
     bounds: list[tuple[int, int | None]],
@@ -83,6 +88,7 @@ def pattern_matches(
     close_before_us: int | None = None,
     cursor: tuple[int, int] | None = None,
     work_cap: int | None = None,
+    first_only: bool = False,
 ) -> tuple[list[tuple], tuple[int, int] | None]:
     """All matches of a multi-leg quantified pattern ``L0{m0,n0} L1{m1,n1}
     ...`` over per-leg sorted (ts_us, id) event lists.
@@ -114,6 +120,14 @@ def pattern_matches(
 
     ``work_cap``: raise :class:`PatternWorkCapExceeded` once more than
     this many matches accumulate in one call (None = unguarded).
+
+    ``first_only``: stop after the FIRST match in the canonical
+    enumeration order (anchors ascending by (ts, id); within an anchor,
+    depth-first over legs with each leg's choices ordered empty-branch
+    first, then (first_ts, first_id) ascending, then run length
+    ascending) — the AFTER-MATCH ``first`` mode.  Returns at most one
+    match; the enumeration aborts the moment it is found, so a dense key
+    pays nothing beyond locating it.
     """
     out: list[tuple] = []
     new_cursor = cursor
@@ -121,7 +135,11 @@ def pattern_matches(
     m0, n0 = bounds[0]
     n_legs = len(leg_events)
 
-    if work_cap is None:
+    if first_only:
+        def emit(tup: tuple) -> None:
+            out.append(tup)
+            raise _FirstFound
+    elif work_cap is None:
         emit = out.append
     else:
         def emit(tup: tuple) -> None:
@@ -196,23 +214,26 @@ def pattern_matches(
                     rec(leg_idx + 1, (l_ts, l_id), horizon, nxt, anchor_ts, ())
         return
 
-    for i, (a_ts, a_id) in enumerate(leg0):
-        if cursor is not None and (a_ts, a_id) <= cursor:
-            continue
-        if close_before_us is not None and a_ts + within_us > close_before_us:
-            break  # sorted: every later anchor is open too
-        horizon = a_ts + within_us
-        max_len0 = len(leg0) - i if n0 is None else min(n0, len(leg0) - i)
-        for run_len in range(m0, max_len0 + 1):
-            l_ts, l_id = leg0[i + run_len - 1]
-            if l_ts > horizon:
-                break
-            head = (a_id, l_id, run_len)
-            if n_legs == 1:
-                emit((head, a_ts))
-            else:
-                rec(1, (l_ts, l_id), horizon, [head], a_ts, ())
-        new_cursor = (a_ts, a_id)
+    try:
+        for i, (a_ts, a_id) in enumerate(leg0):
+            if cursor is not None and (a_ts, a_id) <= cursor:
+                continue
+            if close_before_us is not None and a_ts + within_us > close_before_us:
+                break  # sorted: every later anchor is open too
+            horizon = a_ts + within_us
+            max_len0 = len(leg0) - i if n0 is None else min(n0, len(leg0) - i)
+            for run_len in range(m0, max_len0 + 1):
+                l_ts, l_id = leg0[i + run_len - 1]
+                if l_ts > horizon:
+                    break
+                head = (a_id, l_id, run_len)
+                if n_legs == 1:
+                    emit((head, a_ts))
+                else:
+                    rec(1, (l_ts, l_id), horizon, [head], a_ts, ())
+            new_cursor = (a_ts, a_id)
+    except _FirstFound:
+        pass  # out holds exactly the canonical first match
     return out, new_cursor
 
 
@@ -251,6 +272,7 @@ def match_quantified(
     key_col: str = "user_id",
     ts_col: str = "ts",
     id_col: str = "event_id",
+    mode: str = "all",
 ) -> DataFrame:
     """Batch ``A{m,n}`` then B.
 
@@ -271,6 +293,7 @@ def match_quantified(
         key_col=key_col,
         ts_col=ts_col,
         id_col=id_col,
+        mode=mode,
     )
 
 
@@ -321,6 +344,7 @@ def match_quantified_stream(
     key_col: str = "user_id",
     ts_col: str = "ts",
     id_col: str = "event_id",
+    mode: str = "all",
 ) -> DataFrame:
     """Streaming ``A{m,n}`` then B over a watermarked stream.
 
@@ -336,6 +360,7 @@ def match_quantified_stream(
         key_col=key_col,
         ts_col=ts_col,
         id_col=id_col,
+        mode=mode,
     )
 
 
@@ -401,6 +426,7 @@ def match_pattern(
     key_col: str = "user_id",
     ts_col: str = "ts",
     id_col: str = "event_id",
+    mode: str = "all",
 ) -> DataFrame:
     """Batch multi-leg quantified pattern: ``L0{m0,n0} L1{m1,n1} ...``.
 
@@ -422,8 +448,21 @@ def match_pattern(
     IS NULL anti-joins on the guarded gap (the streaming-legal anti-join
     spelling, same as cep.py).  Semantics defined by (and property-tested
     against) :func:`pattern_matches`.
+
+    ``mode``: ``"all"`` (default) emits every match; ``"first"`` emits
+    one row per key — the first match in :func:`pattern_matches`'s
+    canonical enumeration order (AFTER MATCH ``first``, the alert-style
+    contract).  Relationally: a per-key ``row_number`` over the per-leg
+    (first_ts, first_id, last_ts, last_id) order tuples, absent optional
+    legs sorting first (NULLs-first = the kernel's
+    explore-the-empty-branch-first rule) — one extra per-key window
+    shuffle over the (already filtered) match set, nothing else changes.
     """
     _validate_legs(legs)
+    if mode not in ("all", "first"):
+        raise AnalysisError(
+            f"unknown match mode {mode!r}: expected 'all' or 'first'"
+        )
     within = F.expr(f"INTERVAL {within_seconds} SECONDS")
     neg_idx = [i for i, (_, _, m, n) in enumerate(legs) if (m, n) == (0, 0)]
     opt_idx = [i for i, (_, _, m, n) in enumerate(legs)
@@ -435,8 +474,9 @@ def match_pattern(
             "streaming NFA"
         )
     id_type = df.select(F.col(id_col)).schema[0].dataType
+    ts_type = df.select(F.col(ts_col)).schema[0].dataType
 
-    def config(present: frozenset[int]) -> DataFrame:
+    def config(present: frozenset[int], with_order: bool) -> DataFrame:
         consumed = [i for i, (_, _, m, _) in enumerate(legs)
                     if m >= 1 or i in present]
         out = None
@@ -511,48 +551,93 @@ def match_pattern(
                     F.col(f"__l{i}_id").alias(f"{nm}_last_id"),
                     F.col(f"__c{i}").alias(f"{nm}_count"),
                 ]
+        if with_order:
+            # the kernel's canonical enumeration order, relationally: per
+            # consumed leg (first_ts, first_id, last_ts, last_id); absent
+            # optional legs carry NULLs, which sort FIRST — exactly the
+            # kernel's explore-the-empty-branch-first rule
+            for i, (nm, _, m, n) in enumerate(legs):
+                if (m, n) == (0, 0):
+                    continue
+                if m == 0 and i not in present:
+                    cols += [
+                        F.lit(None).cast(ts_type).alias(f"__o{i}_fts"),
+                        F.lit(None).cast(id_type).alias(f"__o{i}_fid"),
+                        F.lit(None).cast(ts_type).alias(f"__o{i}_lts"),
+                        F.lit(None).cast(id_type).alias(f"__o{i}_lid"),
+                    ]
+                else:
+                    cols += [
+                        F.col(f"__f{i}_ts").alias(f"__o{i}_fts"),
+                        F.col(f"__f{i}_id").alias(f"__o{i}_fid"),
+                        F.col(f"__l{i}_ts").alias(f"__o{i}_lts"),
+                        F.col(f"__l{i}_id").alias(f"__o{i}_lid"),
+                    ]
         return out.select(*cols)
 
+    with_order = mode == "first"
     parts = [
-        config(frozenset(opt_idx[b] for b in range(len(opt_idx)) if mask & (1 << b)))
+        config(frozenset(opt_idx[b] for b in range(len(opt_idx)) if mask & (1 << b)),
+               with_order)
         for mask in range(1 << len(opt_idx))
     ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if with_order:
+        ord_cols = [c for c in out.columns if c.startswith("__o")]
+        w = Window.partitionBy(key_col).orderBy(
+            *[F.col(c).asc_nulls_first() for c in ord_cols]
+        )
+        out = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", *ord_cols)
+        )
     return out
 
 
 def _pattern_func(bounds: list, within_us: int, out_cols: list, n_legs: int,
-                  work_cap: int | None):
+                  work_cap: int | None, first_only: bool = False):
     import pandas as pd  # noqa: PLC0415 — executor-side import
 
     def empty() -> "pd.DataFrame":
         return pd.DataFrame({c: [] for c in out_cols})
 
+    def done_state() -> tuple:
+        # first-only tombstone: empty buffers, no cursor, done flag set —
+        # O(1) per matched key, persists so the key never re-matches
+        return tuple([[] for _ in range(2 * n_legs)] + [None, None, True])
+
     def flush(key, state: GroupState, leg_ev, cursor):
         wm_us = state.getCurrentWatermarkMs() * 1000
         matches, cursor = pattern_matches(
             leg_ev, bounds, within_us, close_before_us=wm_us, cursor=cursor,
-            work_cap=work_cap,
+            work_cap=work_cap, first_only=first_only,
         )
-        keep_from = wm_us - within_us
-        leg_ev = [[e for e in evs if e[0] >= keep_from] for evs in leg_ev]
-        if any(leg_ev):
-            flat = []
-            for evs in leg_ev:
-                flat.append([t for t, _ in evs])
-                flat.append([i for _, i in evs])
-            flat += [cursor[0] if cursor else None, cursor[1] if cursor else None]
-            state.update(tuple(flat))
-            open_anchors = [
-                t for t, i in leg_ev[0] if cursor is None or (t, i) > cursor
-            ]
-            if open_anchors:
-                close_ms = (min(open_anchors) + within_us) // 1000
-                state.setTimeoutTimestamp(max(close_ms, wm_us // 1000 + 1))
-        elif state.exists:
-            state.remove()
+        if first_only and matches:
+            state.update(done_state())
+            # no timeout re-arm: the tombstone has nothing left to flush
+        else:
+            keep_from = wm_us - within_us
+            leg_ev = [[e for e in evs if e[0] >= keep_from] for evs in leg_ev]
+            if any(leg_ev):
+                flat = []
+                for evs in leg_ev:
+                    flat.append([t for t, _ in evs])
+                    flat.append([i for _, i in evs])
+                flat += [cursor[0] if cursor else None, cursor[1] if cursor else None]
+                if first_only:
+                    flat.append(False)
+                state.update(tuple(flat))
+                open_anchors = [
+                    t for t, i in leg_ev[0] if cursor is None or (t, i) > cursor
+                ]
+                if open_anchors:
+                    close_ms = (min(open_anchors) + within_us) // 1000
+                    state.setTimeoutTimestamp(max(close_ms, wm_us // 1000 + 1))
+            elif state.exists:
+                state.remove()
         if not matches:
             return empty()
         data: dict = {out_cols[0]: [key[0]] * len(matches)}
@@ -575,16 +660,27 @@ def _pattern_func(bounds: list, within_us: int, out_cols: list, n_legs: int,
 
     def load(state: GroupState):
         if not state.exists:
-            return [[] for _ in range(n_legs)], None
+            return [[] for _ in range(n_legs)], None, False
         flat = state.get
+        if first_only and bool(flat[2 * n_legs + 2]):
+            return [[] for _ in range(n_legs)], None, True
         leg_ev = []
         for li in range(n_legs):
             leg_ev.append(sorted(zip(list(flat[2 * li]), list(flat[2 * li + 1]))))
         c_ts, c_id = flat[2 * n_legs], flat[2 * n_legs + 1]
-        return leg_ev, ((c_ts, c_id) if c_ts is not None else None)
+        return leg_ev, ((c_ts, c_id) if c_ts is not None else None), False
 
     def func(key, pdf_iter, state: GroupState):
-        leg_ev, cursor = load(state)
+        leg_ev, cursor, done = load(state)
+        if done:
+            # matched key: drop everything, keep the tombstone alive (a
+            # pre-match timeout may still fire once — re-assert the state)
+            for _ in pdf_iter:
+                pass
+            if state.hasTimedOut:
+                state.update(done_state())
+            yield empty()
+            return
         if state.hasTimedOut:
             yield flush(key, state, leg_ev, cursor)
             return
@@ -618,6 +714,7 @@ def match_pattern_stream(
     ts_col: str = "ts",
     id_col: str = "event_id",
     max_matches_per_key: int | None = 1_000_000,
+    mode: str = "all",
 ) -> DataFrame:
     """Streaming multi-leg quantified pattern over a watermarked stream.
 
@@ -635,8 +732,25 @@ def match_pattern_stream(
     flush: past it the task fails with :class:`PatternWorkCapExceeded` —
     a named error instead of a silent hot-key stall (pass None to
     disable).
+
+    ``mode="first"`` (AFTER MATCH ``first``): emit ONE row per key — the
+    first match in the kernel's canonical enumeration order — then stop
+    tracking the key.  Matches still emit at anchor close (a late event
+    can complete a canonically-earlier match, so emitting before the
+    watermark passes the anchor's window would break determinism), and
+    the flush-cursor contract makes the choice exactly-once across
+    replays.  On match the key's state collapses to an O(1) done
+    tombstone (buffers dropped, no more enumeration work) — the chained
+    join lowering cannot express this at all (it has no cross-match
+    state).  ``mode="first"`` adds a boolean to the state schema, so it
+    is a different checkpoint lineage from ``mode="all"`` (the resume
+    guard in streaming/sink.py names the mismatch).
     """
     _validate_legs(legs)
+    if mode not in ("all", "first"):
+        raise AnalysisError(
+            f"unknown match mode {mode!r}: expected 'all' or 'first'"
+        )
     if not df.isStreaming:
         raise AnalysisError("match_pattern_stream requires a streaming DataFrame")
 
@@ -676,10 +790,13 @@ def match_pattern_stream(
             StructField(f"id{i}", ArrayType(id_type)),
         ]
     state_fields += [StructField("c_ts", LongType()), StructField("c_id", id_type)]
+    if mode == "first":
+        state_fields.append(StructField("done", BooleanType()))
 
     bounds = [(m, n) for _, _, m, n in legs]
     func = _pattern_func(bounds, int(within_seconds * 1_000_000), out_cols,
-                         len(legs), max_matches_per_key)
+                         len(legs), max_matches_per_key,
+                         first_only=(mode == "first"))
     out = proj.groupBy(F.col("__k")).applyInPandasWithState(
         func,
         StructType(out_fields),

@@ -692,3 +692,168 @@ def test_streaming_string_ids(spark, tmp_path):
     )
     assert got == want and len(got) > 5
     assert isinstance(got[0][1], str)
+
+
+# ---------------------------------------------------------------------------
+# AFTER MATCH `first` mode (round 6 follow-on)
+# ---------------------------------------------------------------------------
+
+
+def test_kernel_first_only_is_head_of_all():
+    """first_only returns exactly the head of the all-matches enumeration,
+    across positive / negation / optional leg mixes on random fixtures."""
+    from ksql_spark.operators.cep_nfa import pattern_matches
+
+    rng = random.Random(77)
+    configs = [
+        [(1, 2), (1, 1)],
+        [(2, 3), (1, None), (1, 1)],
+        [(1, 2), (0, 0), (1, 1)],
+        [(1, 1), (0, 2), (1, 1)],
+        [(1, 2), (0, 0), (0, 1), (1, 1)],
+    ]
+    checked_nonempty = 0
+    for trial in range(60):
+        bounds = configs[trial % len(configs)]
+        legs = []
+        for _ in bounds:
+            t, evs = 0, []
+            for i in range(rng.randrange(3, 10)):
+                t += rng.randrange(1, 6) * US
+                evs.append((t, rng.randrange(1000)))
+            legs.append(sorted(set(evs)))
+        within = rng.randrange(5, 30) * US
+        all_m, _ = pattern_matches(legs, bounds, within)
+        first_m, _ = pattern_matches(legs, bounds, within, first_only=True)
+        assert first_m == all_m[:1]
+        checked_nonempty += bool(all_m)
+    assert checked_nonempty > 20, "fixtures mostly vacuous"
+
+
+def _kernel_first_truth(df, legs_spec, within_s):
+    """Per-key first match (kernel first_only), shaped like match_pattern
+    mode='first' output rows."""
+    from ksql_spark.operators.cep_nfa import pattern_matches
+
+    rows = df.collect()
+    by_key: dict = {}
+    for r in rows:
+        lists = by_key.setdefault(r["user_id"], [[] for _ in legs_spec])
+        ts_us = int(r["ts"].timestamp() * US)
+        for li, (_, types, _, _) in enumerate(legs_spec):
+            if r["event_type"] in types:
+                lists[li].append((ts_us, r["event_id"]))
+    bounds = [(m, n) for _, _, m, n in legs_spec]
+    want = []
+    for uid, lists in by_key.items():
+        got, _ = pattern_matches(
+            [sorted(x) for x in lists], bounds, within_s * US, first_only=True
+        )
+        for mt in got:
+            row = [uid]
+            for li, (_, _, m, n) in enumerate(legs_spec):
+                if (m, n) == (0, 0):
+                    continue
+                f, l, cnt = mt[li]
+                if (m, n) == (1, 1):
+                    row.append(f)
+                else:
+                    row += [f, l, cnt]
+            want.append(tuple(row))
+    return sorted(want, key=_nsk)
+
+
+_FIRST_LEGS_SPEC = [
+    ("a", {"A"}, 1, 2),
+    ("nb", {"B"}, 0, 0),
+    ("oc", {"C"}, 0, 1),
+    ("b", {"B"}, 1, 1),
+]
+
+
+def _first_legs():
+    return [
+        ("a", Fn.col("event_type") == "A", 1, 2),
+        ("nb", Fn.col("event_type") == "B", 0, 0),
+        ("oc", Fn.col("event_type") == "C", 0, 1),
+        ("b", Fn.col("event_type") == "B", 1, 1),
+    ]
+
+
+def test_batch_first_mode_equals_kernel_first(spark, rand_events):
+    """match_pattern(mode='first'): the relational row_number tie-break
+    (per-leg order tuples, NULLs first) reproduces the kernel's canonical
+    first match on a quantifier+negation+optional pattern."""
+    from ksql_spark.operators.cep_nfa import match_pattern
+
+    got = sorted(
+        map(
+            tuple,
+            match_pattern(
+                rand_events, _first_legs(), within_seconds=40, mode="first"
+            ).collect(),
+        ),
+        key=_nsk,
+    )
+    want = _kernel_first_truth(rand_events, _FIRST_LEGS_SPEC, 40)
+    assert got == want
+    assert len(got) > 3, "fixture produced almost no first matches — vacuous"
+    # exactly one row per key
+    assert len({r[0] for r in got}) == len(got)
+
+
+def test_streaming_first_mode_matches_batch(spark, rand_events, tmp_path):
+    """mode='first' on a stream, forced through many micro-batches: each
+    key emits its canonical first match exactly once (done tombstone
+    suppresses later batches' matches) and equals the batch twin."""
+    from ksql_spark.operators.cep_nfa import match_pattern, match_pattern_stream
+    from ksql_spark.streaming.sink import ExactlyOnceParquetSink
+
+    legs = _first_legs()
+    path = str(tmp_path / "ev")
+    _write_stream_fixture(spark, rand_events, path, parts=4)
+    sent = spark.createDataFrame(
+        [(-3, -1, "C", "2024-06-01 00:00:00")],
+        "event_id bigint, user_id bigint, event_type string, ts_s string",
+    ).select("event_id", "user_id", "event_type", Fn.col("ts_s").cast("timestamp").alias("ts"))
+    sent.coalesce(1).write.mode("append").parquet(path)
+
+    src = (
+        spark.readStream.schema(rand_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .withWatermark("ts", "5 seconds")
+    )
+    out = match_pattern_stream(src, legs, within_seconds=40, mode="first")
+    sink = ExactlyOnceParquetSink(str(tmp_path / "sink"), lineage=False)
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, sink.read_data(spark).collect()), key=_nsk)
+    want = sorted(
+        map(
+            tuple,
+            match_pattern(
+                rand_events, legs, within_seconds=40, mode="first"
+            ).collect(),
+        ),
+        key=_nsk,
+    )
+    assert got == want and len(got) > 3
+    assert len({r[0] for r in got}) == len(got)
+
+
+def test_bad_mode_rejected(spark, rand_events):
+    from ksql_spark.operators.cep_nfa import match_pattern, match_pattern_stream
+
+    legs = [("a", Fn.col("event_type") == "A", 1, 1),
+            ("b", Fn.col("event_type") == "B", 1, 1)]
+    with pytest.raises(AnalysisError, match="match mode"):
+        match_pattern(rand_events, legs, 10, mode="skip-past-last")
+    with pytest.raises(AnalysisError, match="match mode"):
+        match_pattern_stream(rand_events, legs, 10, mode="last")
