@@ -1987,6 +1987,84 @@ def streaming_cep_pattern_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cep_pattern_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AFTER MATCH SKIP PAST LAST ROW (round-6 follow-on): the view{1,2}
+    click purchase pattern, greedy NON-OVERLAPPING selection — take the
+    canonical-order first match, then the next match starting strictly
+    after its last consumed element (the purchase), and so on.  Greedy
+    selection is inherently sequential per key, so the batch lowering runs
+    the shared NFA kernel per key via applyInPandas over the same narrow
+    (ts, id, leg-mask) projection the streaming NFA shuffles
+    (operators/cep_nfa.py _match_pattern_skip_batch).  Oracle = a DuckDB
+    RECURSIVE CTE doing the identical greedy walk with a LATERAL
+    next-match probe."""
+    from ksql_spark.operators.cep_nfa import match_pattern
+
+    src = _load(spark, sf_dir, "events")
+    return match_pattern(
+        src["events"], _pattern_legs(), within_seconds=86400,
+        mode="skip_past_last",
+    ).select("user_id", "v_first_id", "v_last_id", "v_count", "c_id", "p_id")
+
+
+def streaming_cep_pattern_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME non-overlapping contract on a STREAM — Flink's AFTER MATCH
+    SKIP PAST LAST ROW, the production alerting default.  ONE
+    applyInPandasWithState store whose per-key state is *smaller* than
+    all-matches mode: after each selection the frontier advances past the
+    match's last consumed element, buffered events at or before it are
+    evicted immediately, and late arrivals behind it are dropped on
+    ingest.  Selections happen at anchor close in canonical order,
+    exactly-once via the persisted (cursor, frontier) pair.  Oracle = the
+    batch recursive-greedy twin."""
+    import datetime
+
+    from ksql_spark.operators.cep_nfa import match_pattern_stream
+    from ksql_spark.streaming.sink import ExactlyOnceParquetSink
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    work = tempfile.mkdtemp(prefix="ksql_driver_cepskip_")
+    events = _load(spark, sf_dir, "events")["events"]
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        events = events.withColumn("ts", Fn.col("ts").cast("timestamp"))
+    max_ts = events.agg(Fn.max("ts")).first()[0]
+    far = max_ts + datetime.timedelta(days=365)
+    sentinel = spark.createDataFrame(
+        [
+            (-1, far, -1, "view", 0.0, "{}"),
+            (-2, far, -2, "click", 0.0, "{}"),
+            (-3, far, -3, "purchase", 0.0, "{}"),
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    events.unionByName(sentinel.select(*events.columns)).write.mode("overwrite").parquet(
+        os.path.join(work, "ev")
+    )
+    src = spark.readStream.schema(events.schema).parquet(os.path.join(work, "ev"))
+    src = src.withWatermark("ts", "30 minutes")
+    m = match_pattern_stream(
+        src, _pattern_legs(), within_seconds=86400, mode="skip_past_last"
+    ).filter(Fn.col("user_id") >= 0)
+    sink = ExactlyOnceParquetSink(os.path.join(work, "engine", "cepskip"), lineage=False)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            m.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return sink.read_data(spark).select(
+        "user_id", "v_first_id", "v_last_id", "v_count", "c_id", "p_id"
+    )
+
+
 def streaming_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skewed STREAM-STREAM join (VERDICT r4 #4): 70% of click/purchase
     traffic collapses onto one hot key (user_id%10<7 -> key 0 — a
@@ -2579,6 +2657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_pattern_optional": q_cep_pattern_optional,
         "cep_pattern_first": q_cep_pattern_first,
         "streaming_cep_pattern_first": streaming_cep_pattern_first,
+        "cep_pattern_skip": q_cep_pattern_skip,
+        "streaming_cep_pattern_skip": streaming_cep_pattern_skip,
         # -- r5-green, but cep_nfa.py / skew.py changed this round ----------
         "cep_quantifier": q_cep_quantifier,
         "streaming_cep_quantifier": streaming_cep_quantifier,
@@ -2592,9 +2672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_agg": q_groupby_agg,
         "filter_project": q_filter_project,
         "case_when": q_case_when,
+        # ------------------------- 50-entry line ---------------------------
         "orderby_limit": q_orderby_limit,
         "join_inner": q_join_inner,
-        # ------------------------- 50-entry line ---------------------------
         "cte": q_cte,
         "ddl_insert_roundtrip": q_ddl_insert_roundtrip,
         "streaming_cep_repeat4": streaming_cep_repeat4,
@@ -2751,6 +2831,42 @@ def oracle_sql() -> dict[str, str]:
                   AND p.ts <= f.ts + INTERVAL '86400 seconds')
         SELECT user_id, v_first_id, v_last_id, v_count, c_id, p_id
         FROM m WHERE mrn = 1
+    """
+    cep_pattern_skip_sql = """
+        WITH RECURSIVE v AS (
+            SELECT user_id, event_id, ts,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type = 'view'
+        ), c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+           p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+           m AS (
+            SELECT f.user_id AS k,
+                   f.event_id AS v_first_id, l.event_id AS v_last_id,
+                   (l.rn - f.rn + 1) AS v_count,
+                   c.event_id AS c_id, p.event_id AS p_id,
+                   f.ts AS o1, f.event_id AS o2, l.ts AS o3, l.event_id AS o4,
+                   c.ts AS o5, c.event_id AS o6, p.ts AS o7, p.event_id AS o8
+            FROM v f
+            JOIN v l ON l.user_id = f.user_id AND l.rn - f.rn BETWEEN 0 AND 1
+                    AND l.ts <= f.ts + INTERVAL '86400 seconds'
+            JOIN c ON c.user_id = f.user_id
+                  AND (c.ts > l.ts OR (c.ts = l.ts AND c.event_id > l.event_id))
+                  AND c.ts <= f.ts + INTERVAL '86400 seconds'
+            JOIN p ON p.user_id = f.user_id
+                  AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+                  AND p.ts <= f.ts + INTERVAL '86400 seconds'),
+           sel AS (
+            (SELECT * FROM (
+                SELECT m.*, row_number() OVER (
+                    PARTITION BY k ORDER BY o1, o2, o3, o4, o5, o6, o7, o8) AS srn
+                FROM m) t WHERE srn = 1)
+            UNION ALL
+            SELECT n.*, 1 AS srn FROM sel s JOIN LATERAL (
+                SELECT * FROM m
+                WHERE m.k = s.k
+                  AND (m.o1 > s.o7 OR (m.o1 = s.o7 AND m.o2 > s.o8))
+                ORDER BY o1, o2, o3, o4, o5, o6, o7, o8 LIMIT 1) n ON true)
+        SELECT k AS user_id, v_first_id, v_last_id, v_count, c_id, p_id FROM sel
     """
     cep_pattern_negation_sql = """
         WITH v AS (
@@ -3125,6 +3241,8 @@ def oracle_sql() -> dict[str, str]:
         "cep_pattern_optional": cep_pattern_optional_sql,
         "cep_pattern_first": cep_pattern_first_sql,
         "streaming_cep_pattern_first": cep_pattern_first_sql,
+        "cep_pattern_skip": cep_pattern_skip_sql,
+        "streaming_cep_pattern_skip": cep_pattern_skip_sql,
         "streaming_cep_repeat4": """
             WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
                  p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')

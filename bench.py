@@ -55,6 +55,8 @@ HEADLINE = [
     "cep_pattern_optional",
     "cep_pattern_first",
     "streaming_cep_pattern_first",
+    "cep_pattern_skip",
+    "streaming_cep_pattern_skip",
     "streaming_cep_repeat4",
     "streaming_skew_salted_join",
     "streaming_topk_having",

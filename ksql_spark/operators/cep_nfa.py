@@ -89,6 +89,7 @@ def pattern_matches(
     cursor: tuple[int, int] | None = None,
     work_cap: int | None = None,
     first_only: bool = False,
+    capture_last: list | None = None,
 ) -> tuple[list[tuple], tuple[int, int] | None]:
     """All matches of a multi-leg quantified pattern ``L0{m0,n0} L1{m1,n1}
     ...`` over per-leg sorted (ts_us, id) event lists.
@@ -128,6 +129,10 @@ def pattern_matches(
     ascending) — the AFTER-MATCH ``first`` mode.  Returns at most one
     match; the enumeration aborts the moment it is found, so a dense key
     pays nothing beyond locating it.
+
+    ``capture_last``: if a list is passed, the (ts_us, id) of each emitted
+    match's LAST consumed element (the final leg's run end) is appended to
+    it in emission order — the skip-past-last frontier needs it.
     """
     out: list[tuple] = []
     new_cursor = cursor
@@ -209,6 +214,8 @@ def pattern_matches(
                     break
                 nxt = acc + [(f_id, l_id, run_len)]
                 if last_leg:
+                    if capture_last is not None:
+                        capture_last.append((l_ts, l_id))
                     emit(tuple(nxt) + (anchor_ts,))
                 else:
                     rec(leg_idx + 1, (l_ts, l_id), horizon, nxt, anchor_ts, ())
@@ -228,6 +235,8 @@ def pattern_matches(
                     break
                 head = (a_id, l_id, run_len)
                 if n_legs == 1:
+                    if capture_last is not None:
+                        capture_last.append((l_ts, l_id))
                     emit((head, a_ts))
                 else:
                     rec(1, (l_ts, l_id), horizon, [head], a_ts, ())
@@ -235,6 +244,51 @@ def pattern_matches(
     except _FirstFound:
         pass  # out holds exactly the canonical first match
     return out, new_cursor
+
+
+def pattern_matches_skip(
+    leg_events: list[list[tuple[int, int]]],
+    bounds: list[tuple[int, int | None]],
+    within_us: int,
+    close_before_us: int | None = None,
+    cursor: tuple[int, int] | None = None,
+    frontier: tuple[int, int] | None = None,
+) -> tuple[list[tuple], tuple[int, int] | None, tuple[int, int] | None]:
+    """Greedy NON-OVERLAPPING matches (AFTER MATCH SKIP PAST LAST ROW).
+
+    Repeatedly selects the canonically-first match whose every consumed
+    element lies strictly after ``frontier`` (the last consumed element of
+    the previously selected match), then advances the frontier past it —
+    classic greedy interval scheduling over :func:`pattern_matches`'s
+    canonical order.  Because pattern elements are (ts, id)-ordered, "every
+    element after the frontier" is equivalent to "the anchor is after the
+    frontier", which is what the relational oracle checks.
+
+    Output is linear in the event count (at most one selection per
+    ``m0``-run of leg-0 events), so no work cap applies; each selection is
+    a first-only search that aborts at its match.
+
+    Returns (matches, new_frontier, new_cursor) — the streaming flush
+    persists the frontier beside the cursor and evicts every buffered
+    event at or before it.
+    """
+    out: list[tuple] = []
+    evs = (
+        leg_events
+        if frontier is None
+        else [[e for e in l if e > frontier] for l in leg_events]
+    )
+    while True:
+        cap: list = []
+        found, cur = pattern_matches(
+            evs, bounds, within_us, close_before_us=close_before_us,
+            cursor=cursor, first_only=True, capture_last=cap,
+        )
+        if not found:
+            return out, frontier, cur
+        out.append(found[0])
+        frontier = cap[0]
+        evs = [[e for e in l if e > frontier] for l in evs]
 
 
 def quantified_matches(
@@ -457,11 +511,21 @@ def match_pattern(
     legs sorting first (NULLs-first = the kernel's
     explore-the-empty-branch-first rule) — one extra per-key window
     shuffle over the (already filtered) match set, nothing else changes.
+    ``"skip_past_last"`` emits greedy NON-OVERLAPPING matches (AFTER
+    MATCH SKIP PAST LAST ROW): canonically-first match, then the next
+    match starting strictly after its last consumed element, and so on —
+    sequential per key, lowered through the kernel via ``applyInPandas``
+    (see :func:`_match_pattern_skip_batch`).
     """
     _validate_legs(legs)
-    if mode not in ("all", "first"):
+    if mode not in ("all", "first", "skip_past_last"):
         raise AnalysisError(
-            f"unknown match mode {mode!r}: expected 'all' or 'first'"
+            f"unknown match mode {mode!r}: expected 'all', 'first' or "
+            f"'skip_past_last'"
+        )
+    if mode == "skip_past_last":
+        return _match_pattern_skip_batch(
+            df, legs, within_seconds, key_col, ts_col, id_col
         )
     within = F.expr(f"INTERVAL {within_seconds} SECONDS")
     neg_idx = [i for i, (_, _, m, n) in enumerate(legs) if (m, n) == (0, 0)]
@@ -597,9 +661,123 @@ def match_pattern(
     return out
 
 
-def _pattern_func(bounds: list, within_us: int, out_cols: list, n_legs: int,
-                  work_cap: int | None, first_only: bool = False):
+def _match_pattern_skip_batch(
+    df: DataFrame,
+    legs: list[tuple[str, Column, int, int | None]],
+    within_seconds: float,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Batch AFTER MATCH SKIP PAST LAST ROW.
+
+    Greedy non-overlapping selection is inherently sequential per key (the
+    i-th selection depends on the (i-1)-th match's last element), so no
+    banded-join algebra expresses it.  Lowering: project each key's
+    pattern-relevant events to (ts_us, id, leg-masks) — the same narrow
+    projection the streaming NFA shuffles — and run the
+    :func:`pattern_matches_skip` kernel per key via ``applyInPandas``
+    (Arrow-batched, one shuffle on the key; per-key memory is the key's
+    pattern-relevant events, the within-window assumption all CEP
+    lowerings here share).  Oracle twin: recursive-CTE greedy over the
+    all-matches set (driver entry cep_pattern_skip).
+    """
+    preds = [pred for _, pred, _, _ in legs]
+    n_legs = len(legs)
+    sel = [
+        F.col(key_col).alias("__k"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__ts"),
+        F.col(id_col).alias("__id"),
+    ] + [p.alias(f"__p{i}") for i, p in enumerate(preds)]
+    keep = F.coalesce(F.col("__p0"), F.lit(False))
+    for i in range(1, n_legs):
+        keep = keep | F.coalesce(F.col(f"__p{i}"), F.lit(False))
+    proj = df.select(*sel).filter(keep)
+
+    key_type = df.select(F.col(key_col)).schema[0].dataType
+    id_type = df.select(F.col(id_col)).schema[0].dataType
+    out_fields, out_cols = _out_schema(legs, key_type, id_type)
+    bounds = [(m, n) for _, _, m, n in legs]
+    within_us = int(within_seconds * 1_000_000)
+
+    def skip_func(pdf):
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        if pdf.empty:
+            return pd.DataFrame({c: [] for c in out_cols})
+        key = pdf["__k"].iloc[0]
+        ts = pdf["__ts"].astype("int64").tolist()
+        ids = pdf["__id"].tolist()
+        leg_ev = []
+        for li in range(n_legs):
+            mask = pdf[f"__p{li}"].fillna(False).tolist()
+            leg_ev.append(
+                sorted((int(t), i) for t, i, ok in zip(ts, ids, mask) if ok)
+            )
+        matches, _, _ = pattern_matches_skip(leg_ev, bounds, within_us)
+        return _matches_frame(matches, key, bounds, out_cols)
+
+    return (
+        proj.groupBy("__k")
+        .applyInPandas(skip_func, StructType(out_fields))
+        .withColumnRenamed("__k", key_col)
+    )
+
+
+def _out_schema(legs, key_type, id_type) -> tuple[list[StructField], list[str]]:
+    """Output (fields, column names) shared by the streaming NFA and the
+    batch skip-past-last lowering: key, then per positive-quantified /
+    optional leg (first_id, last_id, count), per (1,1) leg just the id;
+    negation legs emit nothing."""
+    out_fields = [StructField("__k", key_type)]
+    out_cols = ["__k"]
+    for nm, _, m, n in legs:
+        if (m, n) == (0, 0):
+            continue  # negation legs emit no columns
+        if (m, n) == (1, 1):
+            out_fields.append(StructField(f"{nm}_id", id_type))
+            out_cols.append(f"{nm}_id")
+        else:
+            out_fields += [
+                StructField(f"{nm}_first_id", id_type),
+                StructField(f"{nm}_last_id", id_type),
+                StructField(f"{nm}_count", LongType()),
+            ]
+            out_cols += [f"{nm}_first_id", f"{nm}_last_id", f"{nm}_count"]
+    return out_fields, out_cols
+
+
+def _matches_frame(matches, key, bounds, out_cols):
+    """Kernel match tuples → one pandas frame shaped like ``out_cols``."""
     import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    if not matches:
+        return pd.DataFrame({c: [] for c in out_cols})
+    data: dict = {out_cols[0]: [key] * len(matches)}
+    ci = 1
+    for li, (m, n) in enumerate(bounds):
+        if (m, n) == (0, 0):
+            continue  # negation legs consume nothing and emit no columns
+        firsts = [mt[li][0] for mt in matches]
+        lasts = [mt[li][1] for mt in matches]
+        cnts = [mt[li][2] for mt in matches]
+        if (m, n) == (1, 1):
+            data[out_cols[ci]] = firsts
+            ci += 1
+        else:
+            data[out_cols[ci]] = firsts
+            data[out_cols[ci + 1]] = lasts
+            data[out_cols[ci + 2]] = cnts
+            ci += 3
+    return pd.DataFrame(data)
+
+
+def _pattern_func(bounds: list, within_us: int, out_cols: list, n_legs: int,
+                  work_cap: int | None, mode: str = "all"):
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    first_only = mode == "first"
+    skip = mode == "skip_past_last"
 
     def empty() -> "pd.DataFrame":
         return pd.DataFrame({c: [] for c in out_cols})
@@ -609,18 +787,28 @@ def _pattern_func(bounds: list, within_us: int, out_cols: list, n_legs: int,
         # O(1) per matched key, persists so the key never re-matches
         return tuple([[] for _ in range(2 * n_legs)] + [None, None, True])
 
-    def flush(key, state: GroupState, leg_ev, cursor):
+    def flush(key, state: GroupState, leg_ev, cursor, frontier):
         wm_us = state.getCurrentWatermarkMs() * 1000
-        matches, cursor = pattern_matches(
-            leg_ev, bounds, within_us, close_before_us=wm_us, cursor=cursor,
-            work_cap=work_cap, first_only=first_only,
-        )
+        if skip:
+            matches, frontier, cursor = pattern_matches_skip(
+                leg_ev, bounds, within_us, close_before_us=wm_us,
+                cursor=cursor, frontier=frontier,
+            )
+        else:
+            matches, cursor = pattern_matches(
+                leg_ev, bounds, within_us, close_before_us=wm_us, cursor=cursor,
+                work_cap=work_cap, first_only=first_only,
+            )
         if first_only and matches:
             state.update(done_state())
             # no timeout re-arm: the tombstone has nothing left to flush
         else:
             keep_from = wm_us - within_us
-            leg_ev = [[e for e in evs if e[0] >= keep_from] for evs in leg_ev]
+            leg_ev = [
+                [e for e in evs
+                 if e[0] >= keep_from and (frontier is None or e > frontier)]
+                for evs in leg_ev
+            ]
             if any(leg_ev):
                 flat = []
                 for evs in leg_ev:
@@ -629,6 +817,9 @@ def _pattern_func(bounds: list, within_us: int, out_cols: list, n_legs: int,
                 flat += [cursor[0] if cursor else None, cursor[1] if cursor else None]
                 if first_only:
                     flat.append(False)
+                if skip:
+                    flat += [frontier[0] if frontier else None,
+                             frontier[1] if frontier else None]
                 state.update(tuple(flat))
                 open_anchors = [
                     t for t, i in leg_ev[0] if cursor is None or (t, i) > cursor
@@ -636,42 +827,38 @@ def _pattern_func(bounds: list, within_us: int, out_cols: list, n_legs: int,
                 if open_anchors:
                     close_ms = (min(open_anchors) + within_us) // 1000
                     state.setTimeoutTimestamp(max(close_ms, wm_us // 1000 + 1))
+            elif skip and frontier is not None and frontier[0] >= wm_us:
+                # buffers empty but the frontier sits AT the watermark: an
+                # admissible same-timestamp event could still order before
+                # it — persist the frontier alone (O(1)) until the watermark
+                # strictly passes it; the timeout then cleans up
+                flat = [[] for _ in range(2 * n_legs)]
+                flat += [cursor[0] if cursor else None,
+                         cursor[1] if cursor else None,
+                         frontier[0], frontier[1]]
+                state.update(tuple(flat))
+                state.setTimeoutTimestamp(wm_us // 1000 + 1)
             elif state.exists:
                 state.remove()
-        if not matches:
-            return empty()
-        data: dict = {out_cols[0]: [key[0]] * len(matches)}
-        ci = 1
-        for li, (m, n) in enumerate(bounds):
-            if (m, n) == (0, 0):
-                continue  # negation legs consume nothing and emit no columns
-            firsts = [mt[li][0] for mt in matches]
-            lasts = [mt[li][1] for mt in matches]
-            cnts = [mt[li][2] for mt in matches]
-            if (m, n) == (1, 1):
-                data[out_cols[ci]] = firsts
-                ci += 1
-            else:
-                data[out_cols[ci]] = firsts
-                data[out_cols[ci + 1]] = lasts
-                data[out_cols[ci + 2]] = cnts
-                ci += 3
-        return pd.DataFrame(data)
+        return _matches_frame(matches, key[0], bounds, out_cols)
 
     def load(state: GroupState):
         if not state.exists:
-            return [[] for _ in range(n_legs)], None, False
+            return [[] for _ in range(n_legs)], None, False, None
         flat = state.get
         if first_only and bool(flat[2 * n_legs + 2]):
-            return [[] for _ in range(n_legs)], None, True
+            return [[] for _ in range(n_legs)], None, True, None
         leg_ev = []
         for li in range(n_legs):
             leg_ev.append(sorted(zip(list(flat[2 * li]), list(flat[2 * li + 1]))))
         c_ts, c_id = flat[2 * n_legs], flat[2 * n_legs + 1]
-        return leg_ev, ((c_ts, c_id) if c_ts is not None else None), False
+        frontier = None
+        if skip and flat[2 * n_legs + 2] is not None:
+            frontier = (flat[2 * n_legs + 2], flat[2 * n_legs + 3])
+        return leg_ev, ((c_ts, c_id) if c_ts is not None else None), False, frontier
 
     def func(key, pdf_iter, state: GroupState):
-        leg_ev, cursor, done = load(state)
+        leg_ev, cursor, done, frontier = load(state)
         if done:
             # matched key: drop everything, keep the tombstone alive (a
             # pre-match timeout may still fire once — re-assert the state)
@@ -682,7 +869,7 @@ def _pattern_func(bounds: list, within_us: int, out_cols: list, n_legs: int,
             yield empty()
             return
         if state.hasTimedOut:
-            yield flush(key, state, leg_ev, cursor)
+            yield flush(key, state, leg_ev, cursor, frontier)
             return
         for pdf in pdf_iter:
             if pdf.empty:
@@ -698,10 +885,12 @@ def _pattern_func(bounds: list, within_us: int, out_cols: list, n_legs: int,
                 ev = (int(t), i)
                 if cursor is not None and ev <= cursor:
                     continue  # late past every unflushed anchor's reach
+                if frontier is not None and ev <= frontier:
+                    continue  # consumed territory behind the skip frontier
                 for li in range(n_legs):
                     if masks[li][r]:
                         bisect.insort(leg_ev[li], ev)
-        yield flush(key, state, leg_ev, cursor)
+        yield flush(key, state, leg_ev, cursor, frontier)
 
     return func
 
@@ -745,11 +934,22 @@ def match_pattern_stream(
     state).  ``mode="first"`` adds a boolean to the state schema, so it
     is a different checkpoint lineage from ``mode="all"`` (the resume
     guard in streaming/sink.py names the mismatch).
+
+    ``mode="skip_past_last"`` (AFTER MATCH SKIP PAST LAST ROW): greedy
+    NON-OVERLAPPING matches — after each selection the per-key frontier
+    advances past the match's last consumed element, buffered events at
+    or before it are evicted immediately, and late arrivals behind it are
+    dropped on ingest.  Dense keys therefore carry *less* state than
+    all-matches mode, and output is linear in the event count (no work
+    cap needed).  Selections still happen at anchor close, in canonical
+    order, exactly-once via the persisted (cursor, frontier) pair; state
+    schema gains the two frontier fields (separate checkpoint lineage).
     """
     _validate_legs(legs)
-    if mode not in ("all", "first"):
+    if mode not in ("all", "first", "skip_past_last"):
         raise AnalysisError(
-            f"unknown match mode {mode!r}: expected 'all' or 'first'"
+            f"unknown match mode {mode!r}: expected 'all', 'first' or "
+            f"'skip_past_last'"
         )
     if not df.isStreaming:
         raise AnalysisError("match_pattern_stream requires a streaming DataFrame")
@@ -768,21 +968,7 @@ def match_pattern_stream(
 
     key_type = df.select(F.col(key_col)).schema[0].dataType
     id_type = df.select(F.col(id_col)).schema[0].dataType
-    out_fields = [StructField("__k", key_type)]
-    out_cols = ["__k"]
-    for nm, _, m, n in legs:
-        if (m, n) == (0, 0):
-            continue  # negation legs emit no columns
-        if (m, n) == (1, 1):
-            out_fields.append(StructField(f"{nm}_id", id_type))
-            out_cols.append(f"{nm}_id")
-        else:
-            out_fields += [
-                StructField(f"{nm}_first_id", id_type),
-                StructField(f"{nm}_last_id", id_type),
-                StructField(f"{nm}_count", LongType()),
-            ]
-            out_cols += [f"{nm}_first_id", f"{nm}_last_id", f"{nm}_count"]
+    out_fields, out_cols = _out_schema(legs, key_type, id_type)
     state_fields: list[StructField] = []
     for i in range(len(legs)):
         state_fields += [
@@ -792,11 +978,13 @@ def match_pattern_stream(
     state_fields += [StructField("c_ts", LongType()), StructField("c_id", id_type)]
     if mode == "first":
         state_fields.append(StructField("done", BooleanType()))
+    elif mode == "skip_past_last":
+        state_fields += [StructField("f_ts", LongType()),
+                         StructField("f_id", id_type)]
 
     bounds = [(m, n) for _, _, m, n in legs]
     func = _pattern_func(bounds, int(within_seconds * 1_000_000), out_cols,
-                         len(legs), max_matches_per_key,
-                         first_only=(mode == "first"))
+                         len(legs), max_matches_per_key, mode=mode)
     out = proj.groupBy(F.col("__k")).applyInPandasWithState(
         func,
         StructType(out_fields),

@@ -857,3 +857,208 @@ def test_bad_mode_rejected(spark, rand_events):
         match_pattern(rand_events, legs, 10, mode="skip-past-last")
     with pytest.raises(AnalysisError, match="match mode"):
         match_pattern_stream(rand_events, legs, 10, mode="last")
+
+
+# ---------------------------------------------------------------------------
+# AFTER MATCH SKIP PAST LAST ROW (round 6 follow-on)
+# ---------------------------------------------------------------------------
+
+
+def _brute_skip(leg_events, bounds, within_us):
+    """Independent greedy reference: repeatedly take the first match of the
+    canonically-ordered brute-force enumeration, then trim every event at
+    or before its last consumed element (ids unique in fixtures)."""
+    out = []
+    evs = [list(l) for l in leg_events]
+    while True:
+        allm = _brute_pattern(evs, bounds, within_us)
+        if not allm:
+            return out
+        m = allm[0]
+        out.append(m)
+        last_id = m[len(bounds) - 1][1]
+        last = next(e for e in evs[len(bounds) - 1] if e[1] == last_id)
+        evs = [[e for e in l if e > last] for l in evs]
+
+
+def test_kernel_skip_greedy_vs_brute():
+    from ksql_spark.operators.cep_nfa import pattern_matches_skip
+
+    rng = random.Random(99)
+    configs = [
+        [(1, 2), (1, 1)],
+        [(2, 3), (1, None), (1, 1)],
+        [(1, 2), (0, 0), (1, 1)],
+        [(1, 1), (0, 2), (1, 1)],
+    ]
+    nonempty = 0
+    for trial in range(48):
+        bounds = configs[trial % len(configs)]
+        legs = []
+        used = set()
+        for _ in bounds:
+            t, evs = 0, []
+            for _ in range(rng.randrange(4, 12)):
+                t += rng.randrange(1, 5) * US
+                i = rng.randrange(10_000)
+                while i in used:
+                    i = rng.randrange(10_000)
+                used.add(i)
+                evs.append((t, i))
+            legs.append(sorted(evs))
+        within = rng.randrange(6, 30) * US
+        got, frontier, _ = pattern_matches_skip(legs, bounds, within)
+        want = _brute_skip(legs, bounds, within)
+        assert got == want
+        nonempty += bool(got)
+        # non-overlap: each selection's anchor strictly after the previous
+        # selection's last element is implied by got == want; spot-check
+        # the frontier is the last selection's final element
+        if got:
+            last_id = got[-1][len(bounds) - 1][1]
+            assert frontier[1] == last_id
+    assert nonempty > 15, "fixtures mostly vacuous"
+
+
+def test_batch_skip_equals_kernel(spark, rand_events):
+    """applyInPandas skip lowering == per-key kernel greedy, on the
+    quantifier+negation+optional pattern."""
+    from ksql_spark.operators.cep_nfa import match_pattern, pattern_matches_skip
+
+    got = sorted(
+        map(
+            tuple,
+            match_pattern(
+                rand_events, _first_legs(), within_seconds=40,
+                mode="skip_past_last",
+            ).collect(),
+        ),
+        key=_nsk,
+    )
+    rows = rand_events.collect()
+    by_key: dict = {}
+    for r in rows:
+        lists = by_key.setdefault(r["user_id"], [[] for _ in _FIRST_LEGS_SPEC])
+        ts_us = int(r["ts"].timestamp() * US)
+        for li, (_, types, _, _) in enumerate(_FIRST_LEGS_SPEC):
+            if r["event_type"] in types:
+                lists[li].append((ts_us, r["event_id"]))
+    bounds = [(m, n) for _, _, m, n in _FIRST_LEGS_SPEC]
+    want = []
+    for uid, lists in by_key.items():
+        m, _, _ = pattern_matches_skip([sorted(x) for x in lists], bounds, 40 * US)
+        for mt in m:
+            row = [uid]
+            for li, (_, _, bm, bn) in enumerate(_FIRST_LEGS_SPEC):
+                if (bm, bn) == (0, 0):
+                    continue
+                f, l, cnt = mt[li]
+                if (bm, bn) == (1, 1):
+                    row.append(f)
+                else:
+                    row += [f, l, cnt]
+            want.append(tuple(row))
+    want = sorted(want, key=_nsk)
+    assert got == want and len(got) > 5
+    # greedy output is a strict subset of all-matches and >= one per matched key
+    alln = match_pattern(rand_events, _first_legs(), within_seconds=40).count()
+    assert len(got) < alln
+
+
+def test_streaming_skip_matches_batch(spark, rand_events, tmp_path):
+    """skip_past_last on a stream through many micro-batches: the persisted
+    (cursor, frontier) pair reproduces the batch greedy selection."""
+    from ksql_spark.operators.cep_nfa import match_pattern, match_pattern_stream
+    from ksql_spark.streaming.sink import ExactlyOnceParquetSink
+
+    legs = _first_legs()
+    path = str(tmp_path / "ev")
+    _write_stream_fixture(spark, rand_events, path, parts=4)
+    sent = spark.createDataFrame(
+        [(-3, -1, "C", "2024-06-01 00:00:00")],
+        "event_id bigint, user_id bigint, event_type string, ts_s string",
+    ).select("event_id", "user_id", "event_type", Fn.col("ts_s").cast("timestamp").alias("ts"))
+    sent.coalesce(1).write.mode("append").parquet(path)
+
+    src = (
+        spark.readStream.schema(rand_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .withWatermark("ts", "5 seconds")
+    )
+    out = match_pattern_stream(src, legs, within_seconds=40, mode="skip_past_last")
+    sink = ExactlyOnceParquetSink(str(tmp_path / "sink"), lineage=False)
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, sink.read_data(spark).collect()), key=_nsk)
+    want = sorted(
+        map(
+            tuple,
+            match_pattern(
+                rand_events, legs, within_seconds=40, mode="skip_past_last"
+            ).collect(),
+        ),
+        key=_nsk,
+    )
+    assert got == want and len(got) > 5
+
+
+def test_streaming_skip_kill_resume_exactly_once(spark, rand_events, tmp_path):
+    """Stop mid-stream, resume from checkpoint: the persisted (cursor,
+    frontier) pair recovers and the greedy selection is emitted exactly
+    once, identical to the uninterrupted batch greedy."""
+    import time
+
+    from ksql_spark.operators.cep_nfa import match_pattern, match_pattern_stream
+    from ksql_spark.streaming.sink import ExactlyOnceParquetSink
+
+    legs = _first_legs()
+    path = str(tmp_path / "ev")
+    _write_stream_fixture(spark, rand_events, path, parts=4)
+    sent = spark.createDataFrame(
+        [(-3, -1, "C", "2024-06-01 00:00:00")],
+        "event_id bigint, user_id bigint, event_type string, ts_s string",
+    ).select("event_id", "user_id", "event_type", Fn.col("ts_s").cast("timestamp").alias("ts"))
+    sent.coalesce(1).write.mode("append").parquet(path)
+
+    def run(max_files):
+        reader = spark.readStream.schema(rand_events.schema)
+        if max_files:
+            reader = reader.option("maxFilesPerTrigger", max_files)
+        src = reader.parquet(path).withWatermark("ts", "5 seconds")
+        out = match_pattern_stream(src, legs, within_seconds=40, mode="skip_past_last")
+        sink = ExactlyOnceParquetSink(str(tmp_path / "sink"), lineage=False)
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        return q, sink
+
+    q1, _ = run(max_files=1)
+    while q1.isActive and not q1.recentProgress:
+        time.sleep(0.2)
+    q1.stop()
+    q1.awaitTermination()
+
+    q2, sink2 = run(max_files=None)
+    q2.awaitTermination()
+    got = sorted(map(tuple, sink2.read_data(spark).collect()), key=_nsk)
+    want = sorted(
+        map(
+            tuple,
+            match_pattern(
+                rand_events, legs, within_seconds=40, mode="skip_past_last"
+            ).collect(),
+        ),
+        key=_nsk,
+    )
+    assert got == want and len(got) > 5  # no dupes, no gaps
