@@ -2607,8 +2607,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries of this dict.  Round-6 rotation (VERDICT r5 next-step #2): the
     # 32 entries that only have r04 driver rows lead, starting with the ones
     # whose code changed in round 5 (bounded-HAVING rewrite, session store
-    # defaults, dedup broadcast gate, CEP event-time tag stripping).  The 5
-    # new round-6 entries (NFA negation/optional/AFTER-MATCH-first) follow, then the r5-green
+    # defaults, dedup broadcast gate, CEP event-time tag stripping).  The 7
+    # new round-6 entries (NFA negation/optional + AFTER MATCH first/skip
+    # modes) follow, then the r5-green
     # entries whose operator modules changed THIS round (cep_nfa.py grew
     # negation/optional; skew.py gained the salt-cols requirement), then
     # compile.py-dependent backfill (compile gained the hidden-slot copy
