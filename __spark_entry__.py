@@ -2065,6 +2065,87 @@ def streaming_cep_pattern_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cep_pattern_skip_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AFTER MATCH SKIP TO NEXT ROW (round-6 follow-on): the view{1,2}
+    click purchase pattern, ONE match per ANCHOR — the canonically-first
+    match of each leg-0 starting event; matches may overlap but no two
+    share a starting row (Flink's SKIP TO NEXT ROW, the middle ground
+    between all-matches and the non-overlapping skip-past-last).  Stays
+    pure banded-join algebra: the same row_number rewrite as mode='first'
+    with the window additionally partitioned by the anchor (leg 0's first
+    (ts, id)) — operators/cep_nfa.py match_pattern mode='skip_to_next'.
+    Oracle = the mode='first' chain with the row_number partitioned by
+    (user_id, anchor ts, anchor id)."""
+    from ksql_spark.operators.cep_nfa import match_pattern
+
+    src = _load(spark, sf_dir, "events")
+    return match_pattern(
+        src["events"], _pattern_legs(), within_seconds=86400,
+        mode="skip_to_next",
+    ).select("user_id", "v_first_id", "v_last_id", "v_count", "c_id", "p_id")
+
+
+def streaming_cep_pattern_skip_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME one-match-per-anchor contract on a STREAM.  Buffering,
+    eviction and the flush-cursor contract are identical to all-matches
+    mode (later anchors may reuse a previous match's events, so nothing
+    extra can be evicted); only the enumeration changes — each anchor
+    aborts at its first match, so kernel work and output are linear in
+    the leg-0 event count and no work cap applies.  ONE
+    applyInPandasWithState store; exactly-once via the flush cursor; a
+    lineage-marker state field makes a mode flip across a checkpoint
+    resume a named error.  Oracle = the batch per-anchor row_number
+    twin."""
+    import datetime
+
+    from ksql_spark.operators.cep_nfa import match_pattern_stream
+    from ksql_spark.streaming.sink import ExactlyOnceParquetSink
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    work = tempfile.mkdtemp(prefix="ksql_driver_cepskipnext_")
+    events = _load(spark, sf_dir, "events")["events"]
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        events = events.withColumn("ts", Fn.col("ts").cast("timestamp"))
+    max_ts = events.agg(Fn.max("ts")).first()[0]
+    far = max_ts + datetime.timedelta(days=365)
+    sentinel = spark.createDataFrame(
+        [
+            (-1, far, -1, "view", 0.0, "{}"),
+            (-2, far, -2, "click", 0.0, "{}"),
+            (-3, far, -3, "purchase", 0.0, "{}"),
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    events.unionByName(sentinel.select(*events.columns)).write.mode("overwrite").parquet(
+        os.path.join(work, "ev")
+    )
+    src = spark.readStream.schema(events.schema).parquet(os.path.join(work, "ev"))
+    src = src.withWatermark("ts", "30 minutes")
+    m = match_pattern_stream(
+        src, _pattern_legs(), within_seconds=86400, mode="skip_to_next"
+    ).filter(Fn.col("user_id") >= 0)
+    sink = ExactlyOnceParquetSink(
+        os.path.join(work, "engine", "cepskipnext"), lineage=False
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            m.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return sink.read_data(spark).select(
+        "user_id", "v_first_id", "v_last_id", "v_count", "c_id", "p_id"
+    )
+
+
 def streaming_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skewed STREAM-STREAM join (VERDICT r4 #4): 70% of click/purchase
     traffic collapses onto one hot key (user_id%10<7 -> key 0 — a
@@ -2607,9 +2688,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries of this dict.  Round-6 rotation (VERDICT r5 next-step #2): the
     # 32 entries that only have r04 driver rows lead, starting with the ones
     # whose code changed in round 5 (bounded-HAVING rewrite, session store
-    # defaults, dedup broadcast gate, CEP event-time tag stripping).  The 7
-    # new round-6 entries (NFA negation/optional + AFTER MATCH first/skip
-    # modes) follow, then the r5-green
+    # defaults, dedup broadcast gate, CEP event-time tag stripping).  The 9
+    # new round-6 entries (NFA negation/optional + AFTER MATCH first /
+    # skip-past-last / skip-to-next modes) follow, then the r5-green
     # entries whose operator modules changed THIS round (cep_nfa.py grew
     # negation/optional; skew.py gained the salt-cols requirement), then
     # compile.py-dependent backfill (compile gained the hidden-slot copy
@@ -2660,6 +2741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cep_pattern_first": streaming_cep_pattern_first,
         "cep_pattern_skip": q_cep_pattern_skip,
         "streaming_cep_pattern_skip": streaming_cep_pattern_skip,
+        "cep_pattern_skip_next": q_cep_pattern_skip_next,
+        "streaming_cep_pattern_skip_next": streaming_cep_pattern_skip_next,
         # -- r5-green, but cep_nfa.py / skew.py changed this round ----------
         "cep_quantifier": q_cep_quantifier,
         "streaming_cep_quantifier": streaming_cep_quantifier,
@@ -2820,6 +2903,34 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (
                        PARTITION BY f.user_id
                        ORDER BY f.ts, f.event_id, l.ts, l.event_id,
+                                c.ts, c.event_id, p.ts, p.event_id) AS mrn
+            FROM v f
+            JOIN v l ON l.user_id = f.user_id AND l.rn - f.rn BETWEEN 0 AND 1
+                    AND l.ts <= f.ts + INTERVAL '86400 seconds'
+            JOIN c ON c.user_id = f.user_id
+                  AND (c.ts > l.ts OR (c.ts = l.ts AND c.event_id > l.event_id))
+                  AND c.ts <= f.ts + INTERVAL '86400 seconds'
+            JOIN p ON p.user_id = f.user_id
+                  AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+                  AND p.ts <= f.ts + INTERVAL '86400 seconds')
+        SELECT user_id, v_first_id, v_last_id, v_count, c_id, p_id
+        FROM m WHERE mrn = 1
+    """
+    cep_pattern_skip_next_sql = """
+        WITH v AS (
+            SELECT user_id, event_id, ts,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type = 'view'
+        ), c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+           p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+           m AS (
+            SELECT f.user_id,
+                   f.event_id AS v_first_id, l.event_id AS v_last_id,
+                   (l.rn - f.rn + 1) AS v_count,
+                   c.event_id AS c_id, p.event_id AS p_id,
+                   row_number() OVER (
+                       PARTITION BY f.user_id, f.ts, f.event_id
+                       ORDER BY l.ts, l.event_id,
                                 c.ts, c.event_id, p.ts, p.event_id) AS mrn
             FROM v f
             JOIN v l ON l.user_id = f.user_id AND l.rn - f.rn BETWEEN 0 AND 1
@@ -3244,6 +3355,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_cep_pattern_first": cep_pattern_first_sql,
         "cep_pattern_skip": cep_pattern_skip_sql,
         "streaming_cep_pattern_skip": cep_pattern_skip_sql,
+        "cep_pattern_skip_next": cep_pattern_skip_next_sql,
+        "streaming_cep_pattern_skip_next": cep_pattern_skip_next_sql,
         "streaming_cep_repeat4": """
             WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
                  p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')

@@ -57,6 +57,8 @@ HEADLINE = [
     "streaming_cep_pattern_first",
     "cep_pattern_skip",
     "streaming_cep_pattern_skip",
+    "cep_pattern_skip_next",
+    "streaming_cep_pattern_skip_next",
     "streaming_cep_repeat4",
     "streaming_skew_salted_join",
     "streaming_topk_having",

@@ -81,6 +81,11 @@ class _FirstFound(Exception):
     """Internal: aborts enumeration after the first match (first-only mode)."""
 
 
+class _AnchorDone(Exception):
+    """Internal: aborts one anchor's enumeration after its first match
+    (skip-to-next-row mode); the anchor loop continues with the next one."""
+
+
 def pattern_matches(
     leg_events: list[list[tuple[int, int]]],
     bounds: list[tuple[int, int | None]],
@@ -89,6 +94,7 @@ def pattern_matches(
     cursor: tuple[int, int] | None = None,
     work_cap: int | None = None,
     first_only: bool = False,
+    per_anchor_first: bool = False,
     capture_last: list | None = None,
 ) -> tuple[list[tuple], tuple[int, int] | None]:
     """All matches of a multi-leg quantified pattern ``L0{m0,n0} L1{m1,n1}
@@ -130,6 +136,16 @@ def pattern_matches(
     match; the enumeration aborts the moment it is found, so a dense key
     pays nothing beyond locating it.
 
+    ``per_anchor_first``: emit the canonically-first match of EACH anchor
+    (the AFTER MATCH SKIP TO NEXT ROW selection — matching resumes at the
+    event after the current match's FIRST row, so matches may overlap but
+    no two share an anchor).  Every match in a key starts at a leg-0
+    event, so "first per anchor in canonical order" enumerates exactly
+    Flink's skip-to-next-row match set.  Output is at most one row per
+    leg-0 event — linear, so no work cap applies; each anchor's
+    enumeration aborts at its first match.  Mutually exclusive with
+    ``first_only``.
+
     ``capture_last``: if a list is passed, the (ts_us, id) of each emitted
     match's LAST consumed element (the final leg's run end) is appended to
     it in emission order — the skip-past-last frontier needs it.
@@ -144,6 +160,10 @@ def pattern_matches(
         def emit(tup: tuple) -> None:
             out.append(tup)
             raise _FirstFound
+    elif per_anchor_first:
+        def emit(tup: tuple) -> None:
+            out.append(tup)
+            raise _AnchorDone
     elif work_cap is None:
         emit = out.append
     else:
@@ -229,17 +249,20 @@ def pattern_matches(
                 break  # sorted: every later anchor is open too
             horizon = a_ts + within_us
             max_len0 = len(leg0) - i if n0 is None else min(n0, len(leg0) - i)
-            for run_len in range(m0, max_len0 + 1):
-                l_ts, l_id = leg0[i + run_len - 1]
-                if l_ts > horizon:
-                    break
-                head = (a_id, l_id, run_len)
-                if n_legs == 1:
-                    if capture_last is not None:
-                        capture_last.append((l_ts, l_id))
-                    emit((head, a_ts))
-                else:
-                    rec(1, (l_ts, l_id), horizon, [head], a_ts, ())
+            try:  # zero-cost on 3.11+ while no exception is raised
+                for run_len in range(m0, max_len0 + 1):
+                    l_ts, l_id = leg0[i + run_len - 1]
+                    if l_ts > horizon:
+                        break
+                    head = (a_id, l_id, run_len)
+                    if n_legs == 1:
+                        if capture_last is not None:
+                            capture_last.append((l_ts, l_id))
+                        emit((head, a_ts))
+                    else:
+                        rec(1, (l_ts, l_id), horizon, [head], a_ts, ())
+            except _AnchorDone:
+                pass  # skip-to-next-row: this anchor's first match is taken
             new_cursor = (a_ts, a_id)
     except _FirstFound:
         pass  # out holds exactly the canonical first match
@@ -516,12 +539,17 @@ def match_pattern(
     match starting strictly after its last consumed element, and so on —
     sequential per key, lowered through the kernel via ``applyInPandas``
     (see :func:`_match_pattern_skip_batch`).
+    ``"skip_to_next"`` (AFTER MATCH SKIP TO NEXT ROW) emits the
+    canonically-first match of EACH anchor — matches may overlap but no
+    two share a starting row; relationally the same row_number rewrite as
+    ``"first"`` with the window additionally partitioned by the anchor
+    (leg 0's first (ts, id)), so it stays pure banded-join algebra.
     """
     _validate_legs(legs)
-    if mode not in ("all", "first", "skip_past_last"):
+    if mode not in ("all", "first", "skip_past_last", "skip_to_next"):
         raise AnalysisError(
-            f"unknown match mode {mode!r}: expected 'all', 'first' or "
-            f"'skip_past_last'"
+            f"unknown match mode {mode!r}: expected 'all', 'first', "
+            f"'skip_past_last' or 'skip_to_next'"
         )
     if mode == "skip_past_last":
         return _match_pattern_skip_batch(
@@ -639,7 +667,7 @@ def match_pattern(
                     ]
         return out.select(*cols)
 
-    with_order = mode == "first"
+    with_order = mode in ("first", "skip_to_next")
     parts = [
         config(frozenset(opt_idx[b] for b in range(len(opt_idx)) if mask & (1 << b)),
                with_order)
@@ -650,7 +678,13 @@ def match_pattern(
         out = out.unionByName(p)
     if with_order:
         ord_cols = [c for c in out.columns if c.startswith("__o")]
-        w = Window.partitionBy(key_col).orderBy(
+        # skip_to_next: one winner PER ANCHOR (leg 0 is positive by
+        # validation, so its order columns are never NULL)
+        part_cols = (
+            [key_col, "__o0_fts", "__o0_fid"] if mode == "skip_to_next"
+            else [key_col]
+        )
+        w = Window.partitionBy(*part_cols).orderBy(
             *[F.col(c).asc_nulls_first() for c in ord_cols]
         )
         out = (
@@ -778,6 +812,7 @@ def _pattern_func(bounds: list, within_us: int, out_cols: list, n_legs: int,
 
     first_only = mode == "first"
     skip = mode == "skip_past_last"
+    anchor_first = mode == "skip_to_next"
 
     def empty() -> "pd.DataFrame":
         return pd.DataFrame({c: [] for c in out_cols})
@@ -797,7 +832,8 @@ def _pattern_func(bounds: list, within_us: int, out_cols: list, n_legs: int,
         else:
             matches, cursor = pattern_matches(
                 leg_ev, bounds, within_us, close_before_us=wm_us, cursor=cursor,
-                work_cap=work_cap, first_only=first_only,
+                work_cap=None if anchor_first else work_cap,
+                first_only=first_only, per_anchor_first=anchor_first,
             )
         if first_only and matches:
             state.update(done_state())
@@ -817,6 +853,8 @@ def _pattern_func(bounds: list, within_us: int, out_cols: list, n_legs: int,
                 flat += [cursor[0] if cursor else None, cursor[1] if cursor else None]
                 if first_only:
                     flat.append(False)
+                if anchor_first:
+                    flat.append(True)  # lineage marker, not read back
                 if skip:
                     flat += [frontier[0] if frontier else None,
                              frontier[1] if frontier else None]
@@ -944,12 +982,24 @@ def match_pattern_stream(
     cap needed).  Selections still happen at anchor close, in canonical
     order, exactly-once via the persisted (cursor, frontier) pair; state
     schema gains the two frontier fields (separate checkpoint lineage).
+
+    ``mode="skip_to_next"`` (AFTER MATCH SKIP TO NEXT ROW): emit the
+    canonically-first match of EACH anchor — matches may overlap but no
+    two share a starting row (the middle ground between all-matches and
+    the non-overlapping skip-past-last).  Buffering, eviction and the
+    flush-cursor contract are identical to ``"all"`` (later anchors may
+    reuse a previous match's events, so nothing extra can be evicted);
+    only the per-anchor enumeration changes, aborting at each anchor's
+    first match — output and kernel work are linear in the leg-0 event
+    count, so no work cap applies.  The state schema carries a marker
+    field so a mode flip across a checkpoint resume is caught by the
+    resume guard rather than silently reinterpreted.
     """
     _validate_legs(legs)
-    if mode not in ("all", "first", "skip_past_last"):
+    if mode not in ("all", "first", "skip_past_last", "skip_to_next"):
         raise AnalysisError(
-            f"unknown match mode {mode!r}: expected 'all', 'first' or "
-            f"'skip_past_last'"
+            f"unknown match mode {mode!r}: expected 'all', 'first', "
+            f"'skip_past_last' or 'skip_to_next'"
         )
     if not df.isStreaming:
         raise AnalysisError("match_pattern_stream requires a streaming DataFrame")
@@ -981,6 +1031,10 @@ def match_pattern_stream(
     elif mode == "skip_past_last":
         state_fields += [StructField("f_ts", LongType()),
                          StructField("f_id", id_type)]
+    elif mode == "skip_to_next":
+        # distinct checkpoint lineage from mode="all" (same buffers +
+        # cursor otherwise) — the resume guard names a mode flip
+        state_fields.append(StructField("skip_next", BooleanType()))
 
     bounds = [(m, n) for _, _, m, n in legs]
     func = _pattern_func(bounds, int(within_seconds * 1_000_000), out_cols,

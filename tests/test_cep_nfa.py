@@ -1062,3 +1062,143 @@ def test_streaming_skip_kill_resume_exactly_once(spark, rand_events, tmp_path):
         key=_nsk,
     )
     assert got == want and len(got) > 5  # no dupes, no gaps
+
+
+# ---------------------------------------------------------------------------
+# AFTER MATCH SKIP TO NEXT ROW (round 6 follow-on)
+# ---------------------------------------------------------------------------
+
+
+def test_kernel_skip_to_next_is_first_per_anchor():
+    """per_anchor_first returns exactly the first match of each anchor in
+    the all-matches enumeration order, across positive / negation /
+    optional leg mixes — and is bounded by the leg-0 event count."""
+    from ksql_spark.operators.cep_nfa import pattern_matches
+
+    rng = random.Random(123)
+    configs = [
+        [(1, 2), (1, 1)],
+        [(2, 3), (1, None), (1, 1)],
+        [(1, 2), (0, 0), (1, 1)],
+        [(1, 1), (0, 2), (1, 1)],
+        [(1, 2), (0, 0), (0, 1), (1, 1)],
+    ]
+    nonempty = 0
+    for trial in range(60):
+        bounds = configs[trial % len(configs)]
+        legs = []
+        for _ in bounds:
+            t, evs = 0, []
+            for i in range(rng.randrange(3, 10)):
+                t += rng.randrange(1, 6) * US
+                evs.append((t, rng.randrange(1000)))
+            legs.append(sorted(set(evs)))
+        within = rng.randrange(5, 30) * US
+        all_m, _ = pattern_matches(legs, bounds, within)
+        got, _ = pattern_matches(legs, bounds, within, per_anchor_first=True)
+        seen, want = set(), []
+        for m in all_m:
+            anchor = (m[-1], m[0][0])  # (anchor_ts, leg-0 first_id)
+            if anchor not in seen:
+                seen.add(anchor)
+                want.append(m)
+        assert got == want
+        assert len(got) <= len(legs[0])
+        nonempty += bool(got)
+    assert nonempty > 20, "fixtures mostly vacuous"
+
+
+def test_batch_skip_to_next_equals_kernel(spark, rand_events):
+    """match_pattern(mode='skip_to_next'): the per-anchor row_number
+    rewrite reproduces the kernel's first-per-anchor selection on the
+    quantifier+negation+optional pattern."""
+    from ksql_spark.operators.cep_nfa import match_pattern, pattern_matches
+
+    got = sorted(
+        map(
+            tuple,
+            match_pattern(
+                rand_events, _first_legs(), within_seconds=40,
+                mode="skip_to_next",
+            ).collect(),
+        ),
+        key=_nsk,
+    )
+    rows = rand_events.collect()
+    by_key: dict = {}
+    for r in rows:
+        lists = by_key.setdefault(r["user_id"], [[] for _ in _FIRST_LEGS_SPEC])
+        ts_us = int(r["ts"].timestamp() * US)
+        for li, (_, types, _, _) in enumerate(_FIRST_LEGS_SPEC):
+            if r["event_type"] in types:
+                lists[li].append((ts_us, r["event_id"]))
+    bounds = [(m, n) for _, _, m, n in _FIRST_LEGS_SPEC]
+    want = []
+    for uid, lists in by_key.items():
+        m, _ = pattern_matches(
+            [sorted(x) for x in lists], bounds, 40 * US, per_anchor_first=True
+        )
+        for mt in m:
+            row = [uid]
+            for li, (_, _, bm, bn) in enumerate(_FIRST_LEGS_SPEC):
+                if (bm, bn) == (0, 0):
+                    continue
+                f, l, cnt = mt[li]
+                if (bm, bn) == (1, 1):
+                    row.append(f)
+                else:
+                    row += [f, l, cnt]
+            want.append(tuple(row))
+    want = sorted(want, key=_nsk)
+    assert got == want and len(got) > 5
+    # between the two other selective modes: fewer rows than all-matches,
+    # at least as many as per-key first
+    alln = match_pattern(rand_events, _first_legs(), within_seconds=40).count()
+    firstn = match_pattern(
+        rand_events, _first_legs(), within_seconds=40, mode="first"
+    ).count()
+    assert firstn <= len(got) < alln
+
+
+def test_streaming_skip_to_next_matches_batch(spark, rand_events, tmp_path):
+    """skip_to_next on a stream through many micro-batches: all-mode
+    buffering with per-anchor-first enumeration equals the batch twin."""
+    from ksql_spark.operators.cep_nfa import match_pattern, match_pattern_stream
+    from ksql_spark.streaming.sink import ExactlyOnceParquetSink
+
+    legs = _first_legs()
+    path = str(tmp_path / "ev")
+    _write_stream_fixture(spark, rand_events, path, parts=4)
+    sent = spark.createDataFrame(
+        [(-3, -1, "C", "2024-06-01 00:00:00")],
+        "event_id bigint, user_id bigint, event_type string, ts_s string",
+    ).select("event_id", "user_id", "event_type", Fn.col("ts_s").cast("timestamp").alias("ts"))
+    sent.coalesce(1).write.mode("append").parquet(path)
+
+    src = (
+        spark.readStream.schema(rand_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .withWatermark("ts", "5 seconds")
+    )
+    out = match_pattern_stream(src, legs, within_seconds=40, mode="skip_to_next")
+    sink = ExactlyOnceParquetSink(str(tmp_path / "sink"), lineage=False)
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, sink.read_data(spark).collect()), key=_nsk)
+    want = sorted(
+        map(
+            tuple,
+            match_pattern(
+                rand_events, legs, within_seconds=40, mode="skip_to_next"
+            ).collect(),
+        ),
+        key=_nsk,
+    )
+    assert got == want and len(got) > 5
