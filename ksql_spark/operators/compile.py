@@ -314,6 +314,7 @@ def compile_select(
                 raise AnalysisError("outer stream-stream join requires within_seconds (windowed join)")
 
         on: Column | None = j.on.to_column() if j.on is not None else None
+        drop_after_join: list[str] = []
         if j.within_seconds is not None:
             l_ts = F.col(f"{sb.from_expr.effective_name()}.{ts_col}")
             r_ts_col = F.col(
@@ -323,6 +324,33 @@ def compile_select(
                 r_ts_col <= l_ts + F.expr(f"INTERVAL {j.within_seconds} SECONDS")
             )
             on = bound if on is None else (on & bound)
+            if (
+                streaming
+                and left_is_stream
+                and right_is_stream
+                and j.kind in (JoinKind.INNER, JoinKind.LEFT)
+            ):
+                # W-wide time buckets on the equi-key (skew.time_bucket):
+                # |l_ts - r_ts| <= W implies bucket(l_ts) is within ±1 of
+                # bucket(r_ts), so the symmetric hash join probes only the
+                # three adjacent buckets instead of the key's whole retained
+                # history.  Explode the RIGHT (non-preserved) side ×3; the
+                # left bucket stays a pure condition expression.  RIGHT/FULL
+                # joins preserve the right side, where an exploded copy per
+                # bucket would emit unmatched right rows ×3 — those keep the
+                # plain key.
+                from ..streaming.skew import TIME_BUCKET_COL, explode_time_buckets, time_bucket
+
+                r_ts_name = ctx.resolve_event_time(j.source, right) or "ts"
+                right = right.withColumn(
+                    TIME_BUCKET_COL,
+                    explode_time_buckets(F.col(r_ts_name), j.within_seconds, [-1, 0, 1]),
+                ).alias(j.source.effective_name())
+                on = on & (
+                    time_bucket(l_ts, j.within_seconds)
+                    == F.col(f"{j.source.effective_name()}.{TIME_BUCKET_COL}")
+                )
+                drop_after_join.append(TIME_BUCKET_COL)
 
         # broadcast small dimension tables: explicit for stream-table joins
         # (Catalyst's size-based auto-broadcast handles pure batch plans)
@@ -335,6 +363,8 @@ def compile_select(
             df = df.crossJoin(right)
         else:
             df = df.join(right, on=on, how=j.kind.value)
+            if drop_after_join:
+                df = df.drop(*drop_after_join)
 
     # -- WHERE: conjunctive list (ksql/where.go:10-75) -----------------------
     for cond in sb.where_exprs:

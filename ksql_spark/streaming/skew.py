@@ -17,6 +17,44 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
+TIME_BUCKET_COL = "__tbkt"
+
+
+def time_bucket(ts: Column, within_seconds: float) -> Column:
+    """Event-time bucket id of width ``within_seconds`` (integer floor over
+    microseconds — exact for any representable interval).
+
+    A time-BOUNDED stream-stream join (``|l_ts - r_ts| <= W`` or
+    ``r_ts in [l_ts, l_ts + W]``) keyed only on the business key makes the
+    symmetric hash join scan EVERY stored same-key row per probe and filter
+    by time afterwards — per-probe work proportional to the key's whole
+    retained history (quadratic on a hot key).  Adding the W-wide time
+    bucket to the equi-key restricts each probe to the two/three adjacent
+    buckets the bound can reach, making per-probe work proportional to the
+    rows of one bucket instead (guide §2.4/§3: remove work the optimizer
+    cannot — the bound implies the bucket equality).
+
+    One side keeps its single natural bucket (pure expression in the join
+    condition — no column materialized); the OTHER side is exploded across
+    the adjacent bucket ids it may have to meet (``explode_time_buckets``),
+    trading k× state on that side for history-independent probes.  Only a
+    non-preserved join side may be exploded (an exploded preserved side
+    would emit its unmatched rows once per copy).
+    """
+    us = int(round(within_seconds * 1_000_000))
+    return F.floor(F.unix_micros(ts.cast("timestamp")) / F.lit(us)).cast("long")
+
+
+def explode_time_buckets(
+    ts: Column, within_seconds: float, offsets: Sequence[int]
+) -> Column:
+    """All bucket ids of ``ts``'s bucket shifted by ``offsets`` — the bucket
+    set the OTHER side's single bucket can land in under the join's time
+    bound.  ``[-1, 0]`` covers ``other_ts in [ts - W, ts]`` style one-sided
+    bounds (this side is the later event); ``[-1, 0, 1]`` covers the
+    symmetric ``|l_ts - r_ts| <= W``."""
+    b = time_bucket(ts, within_seconds)
+    return F.explode(F.array(*[b + F.lit(int(o)) for o in offsets]))
 
 
 def repartition_by_key(df: DataFrame, key: str | Sequence[str], num_partitions: int | None = None) -> DataFrame:
@@ -158,19 +196,29 @@ def salted_stream_stream_join(
             SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
         )
         .withColumn(SALT_COL, F.col(SALT_COL).cast("int"))
+        # W-wide time buckets on the equi-key: r_ts in [l_ts, l_ts + W]
+        # implies bucket(l_ts) in {bucket(r_ts) - 1, bucket(r_ts)} — probe
+        # work per row drops from the key's whole retained history to the
+        # two adjacent buckets (see time_bucket); right side is already the
+        # non-preserved side (how is inner/left-ish), so exploding it is safe
+        .withColumn(
+            TIME_BUCKET_COL,
+            explode_time_buckets(F.col(right_ts), within_seconds, [-1, 0]),
+        )
         .alias("__r")
     )
     within = F.expr(f"INTERVAL {within_seconds} SECONDS")
     cond = (
         (F.col(f"__l.{key}") == F.col(f"__r.{key}"))
         & (F.col(f"__l.{SALT_COL}") == F.col(f"__r.{SALT_COL}"))
+        & (time_bucket(F.col(f"__l.{left_ts}"), within_seconds) == F.col(f"__r.{TIME_BUCKET_COL}"))
         & (F.col(f"__r.{right_ts}") >= F.col(f"__l.{left_ts}"))
         & (F.col(f"__r.{right_ts}") <= F.col(f"__l.{left_ts}") + within)
     )
     out = l.join(r, cond, how)
     return out.drop(F.col(f"__r.{key}")).drop(
         F.col(f"__l.{SALT_COL}")
-    ).drop(F.col(f"__r.{SALT_COL}"))
+    ).drop(F.col(f"__r.{SALT_COL}")).drop(F.col(f"__r.{TIME_BUCKET_COL}"))
 
 
 def salted_join(

@@ -166,3 +166,67 @@ def test_salted_stream_stream_join_requires_salt_cols(spark):
             df, rdf, key="k", left_ts="l_ts", right_ts="r_ts",
             within_seconds=10, left_salt_cols=["l_id"], how="full_outer",
         )
+
+
+def test_time_bucket_join_boundaries(spark, tmp_path):
+    """r7 optimization: the W-wide time-bucket equi-key added to the
+    stream-stream join (probe work per row ∝ one bucket instead of the
+    key's whole history) must be result-invisible — exercised here on the
+    adversarial timestamps: rows exactly ON a bucket edge, exactly AT the
+    [l_ts, l_ts + W] bound endpoints, and just outside them."""
+    from ksql_spark.streaming.skew import TIME_BUCKET_COL, salted_stream_stream_join
+
+    W = 60  # bucket width == within bound
+    base = 1704067200  # 2024-01-01 00:00:00 UTC — a multiple of 60
+    # left rows at bucket edge, mid-bucket, one tick before the edge
+    loff = [0, 1, 59, 60, 61, 119, 120]
+    # right rows at every offset that can be exactly at/inside/outside a
+    # left row's [l_ts, l_ts + 60] window, incl. equality and 1-tick misses
+    roff = [0, 1, 59, 60, 61, 62, 119, 120, 121, 179, 180, 181]
+    lrows = [(i, 0, base + o) for i, o in enumerate(loff)]
+    rrows = [(100 + i, 0, base + o) for i, o in enumerate(roff)]
+    ldf = spark.createDataFrame(lrows, "l_id bigint, k bigint, es bigint").select(
+        "l_id", "k", Fn.timestamp_seconds("es").alias("l_ts")
+    )
+    rdf = spark.createDataFrame(rrows, "r_id bigint, k bigint, es bigint").select(
+        "r_id", "k", Fn.timestamp_seconds("es").alias("r_ts")
+    )
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    ldf.write.parquet(lp)
+    rdf.write.parquet(rp)
+    ls = spark.readStream.schema(ldf.schema).parquet(lp).withWatermark("l_ts", "1 day")
+    rs = spark.readStream.schema(rdf.schema).parquet(rp).withWatermark("r_ts", "1 day")
+    joined = salted_stream_stream_join(
+        ls, rs, key="k", left_ts="l_ts", right_ts="r_ts",
+        within_seconds=W, salt_buckets=2, left_salt_cols=["l_id"],
+    ).select("k", "l_id", "r_id")
+    # the bucket column is part of the streaming join's equi-key
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert TIME_BUCKET_COL in plan
+
+    from ksql_spark.streaming.sink import ExactlyOnceParquetSink
+
+    sink = ExactlyOnceParquetSink(str(tmp_path / "sink"), lineage=False)
+    q = (
+        joined.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, sink.read_data(spark).collect()))
+    want = sorted(
+        map(
+            tuple,
+            ldf.join(
+                rdf,
+                (ldf["k"] == rdf["k"])
+                & (rdf["r_ts"] >= ldf["l_ts"])
+                & (rdf["r_ts"] <= ldf["l_ts"] + Fn.expr(f"INTERVAL {W} SECONDS")),
+            )
+            .select(ldf["k"], "l_id", "r_id")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 20
