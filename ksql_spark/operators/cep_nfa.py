@@ -709,12 +709,17 @@ def _match_pattern_skip_batch(
     i-th selection depends on the (i-1)-th match's last element), so no
     banded-join algebra expresses it.  Lowering: project each key's
     pattern-relevant events to (ts_us, id, leg-masks) — the same narrow
-    projection the streaming NFA shuffles — and run the
-    :func:`pattern_matches_skip` kernel per key via ``applyInPandas``
-    (Arrow-batched, one shuffle on the key; per-key memory is the key's
-    pattern-relevant events, the within-window assumption all CEP
-    lowerings here share).  Oracle twin: recursive-CTE greedy over the
-    all-matches set (driver entry cep_pattern_skip).
+    projection the streaming NFA shuffles — hash-repartition on the key,
+    and run the :func:`pattern_matches_skip` kernel over EVERY key of a
+    partition in one ``mapInPandas`` call (guide §4: the per-GROUP
+    ``applyInPandas`` spelling paid Arrow framing + a Python call + a
+    pandas-frame build per key, ~15× the kernel's own cost on small keys;
+    one call per partition amortizes all of it, with one output frame per
+    partition).  Per-task memory is one shuffle partition's
+    pattern-relevant events — sized by ``spark.sql.shuffle.partitions``,
+    the same knob every wide op here scales with.  Oracle twin:
+    recursive-CTE greedy over the all-matches set (driver entry
+    cep_pattern_skip).
     """
     preds = [pred for _, pred, _, _ in legs]
     n_legs = len(legs)
@@ -734,26 +739,36 @@ def _match_pattern_skip_batch(
     bounds = [(m, n) for _, _, m, n in legs]
     within_us = int(within_seconds * 1_000_000)
 
-    def skip_func(pdf):
+    def skip_part(pdf_iter):
         import pandas as pd  # noqa: PLC0415 — executor-side import
 
-        if pdf.empty:
-            return pd.DataFrame({c: [] for c in out_cols})
-        key = pdf["__k"].iloc[0]
-        ts = pdf["__ts"].astype("int64").tolist()
-        ids = pdf["__id"].tolist()
-        leg_ev = []
-        for li in range(n_legs):
-            mask = pdf[f"__p{li}"].fillna(False).tolist()
-            leg_ev.append(
-                sorted((int(t), i) for t, i, ok in zip(ts, ids, mask) if ok)
-            )
-        matches, _, _ = pattern_matches_skip(leg_ev, bounds, within_us)
-        return _matches_frame(matches, key, bounds, out_cols)
+        # a key's rows may straddle Arrow batches within the partition;
+        # concatenate before grouping (bounded by the partition, see above)
+        batches = [p for p in pdf_iter if not p.empty]
+        if not batches:
+            return
+        pdf = batches[0] if len(batches) == 1 else pd.concat(batches, ignore_index=True)
+        keys: list = []
+        all_matches: list = []
+        for key, g in pdf.groupby("__k", sort=False):
+            ts = g["__ts"].astype("int64").tolist()
+            ids = g["__id"].tolist()
+            leg_ev = []
+            for li in range(n_legs):
+                mask = g[f"__p{li}"].fillna(False).tolist()
+                leg_ev.append(
+                    sorted((int(t), i) for t, i, ok in zip(ts, ids, mask) if ok)
+                )
+            matches, _, _ = pattern_matches_skip(leg_ev, bounds, within_us)
+            if matches:
+                keys.extend([key] * len(matches))
+                all_matches.extend(matches)
+        if all_matches:
+            yield _matches_frame(all_matches, keys, bounds, out_cols)
 
     return (
-        proj.groupBy("__k")
-        .applyInPandas(skip_func, StructType(out_fields))
+        proj.repartition(F.col("__k"))
+        .mapInPandas(skip_part, StructType(out_fields))
         .withColumnRenamed("__k", key_col)
     )
 
@@ -782,12 +797,17 @@ def _out_schema(legs, key_type, id_type) -> tuple[list[StructField], list[str]]:
 
 
 def _matches_frame(matches, key, bounds, out_cols):
-    """Kernel match tuples → one pandas frame shaped like ``out_cols``."""
+    """Kernel match tuples → one pandas frame shaped like ``out_cols``.
+
+    ``key`` is either one key (all matches share it) or a list aligned with
+    ``matches`` (the batched multi-key path)."""
     import pandas as pd  # noqa: PLC0415 — executor-side import
 
     if not matches:
         return pd.DataFrame({c: [] for c in out_cols})
-    data: dict = {out_cols[0]: [key] * len(matches)}
+    data: dict = {
+        out_cols[0]: list(key) if isinstance(key, list) else [key] * len(matches)
+    }
     ci = 1
     for li, (m, n) in enumerate(bounds):
         if (m, n) == (0, 0):
