@@ -46,6 +46,89 @@ def _fmt(col):
     return Fn.date_format(col, "yyyy-MM-dd HH:mm:ss")
 
 
+def _stage_events_sentinels(spark: SparkSession, sf_dir: str, work: str, types: list[str]):
+    """Stage the events stream plus far-future watermark sentinels WITHOUT a
+    Spark job (r7: this setup cost two jobs per CEP entry — a max(ts) agg
+    and a full union+rewrite of the input — both replaceable by metadata
+    work): hard-link the source parquet files into <work>/ev, take the
+    exact max(ts) from the parquet footer statistics, and write one
+    sentinel row per leg type with pyarrow under the source's own schema.
+    The streaming file source unions all files of the directory, so the
+    row set the query reads is IDENTICAL to the old union+rewrite.
+    Returns the readStream frame with ts normalized to TIMESTAMP.
+
+    Sentinels are the i-th type at (event_id, user_id) = -(i+1) with
+    value 0.0, props '{}' — the exact rows the entries inlined before."""
+    import datetime
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src_path = os.path.join(sf_dir, "events.parquet")
+    ev_dir = os.path.join(work, "ev")
+    os.makedirs(ev_dir, exist_ok=True)
+    files = (
+        sorted(
+            os.path.join(src_path, f)
+            for f in os.listdir(src_path)
+            if f.endswith(".parquet")
+        )
+        if os.path.isdir(src_path)
+        else [src_path]
+    )
+    for i, f in enumerate(files):
+        dst = os.path.join(ev_dir, f"src-{i}.parquet")
+        try:
+            os.link(f, dst)
+        except OSError:
+            shutil.copy(f, dst)
+
+    def _footer_max_ts():
+        mx = None
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                found = False
+                for c in range(rgm.num_columns):
+                    col = rgm.column(c)
+                    if col.path_in_schema == "ts":
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            return None  # stats missing -> exact agg fallback
+                        mx = st.max if mx is None else max(mx, st.max)
+                        found = True
+                if not found:
+                    return None
+        return mx
+
+    max_ts = _footer_max_ts()
+    if max_ts is None:
+        max_ts = spark.read.parquet(src_path).agg(Fn.max("ts")).first()[0]
+    far = max_ts + datetime.timedelta(days=365)
+
+    schema = pq.read_schema(files[0])
+    values = {
+        "event_id": [-(i + 1) for i in range(len(types))],
+        "ts": [far] * len(types),
+        "user_id": [-(i + 1) for i in range(len(types))],
+        "event_type": list(types),
+        "value": [0.0] * len(types),
+        "props": ["{}"] * len(types),
+    }
+    arrays = [
+        pa.array(values[f.name], type=f.type) for f in schema
+    ]
+    pq.write_table(pa.table(arrays, schema=schema), os.path.join(ev_dir, "sentinel.parquet"))
+
+    spark_schema = spark.read.parquet(files[0]).schema
+    src = spark.readStream.schema(spark_schema).parquet(ev_dir)
+    if dict(src.dtypes).get("ts") == "timestamp_ntz":
+        src = src.withColumn("ts", Fn.col("ts").cast("timestamp"))
+    return src
+
+
 # ---------------------------------------------------------------------------
 # relational operators (builder API -> compile_select)
 # ---------------------------------------------------------------------------
@@ -1513,31 +1596,13 @@ def streaming_cep_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
     advancing row.  Each surviving match is emitted exactly once through the
     idempotent sink; all join state is evictable once the watermark passes
     click_ts + 4h.  Oracle = the identical batch recompute."""
-    import datetime
 
     from ksql_spark.operators.cep import match_sequence
     from ksql_spark.streaming.sink import ExactlyOnceParquetSink
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     work = tempfile.mkdtemp(prefix="ksql_driver_cepneg_")
-    events = _load(spark, sf_dir, "events")["events"]
-    if dict(events.dtypes).get("ts") == "timestamp_ntz":
-        events = events.withColumn("ts", Fn.col("ts").cast("timestamp"))
-    max_ts = events.agg(Fn.max("ts")).first()[0]
-    far = max_ts + datetime.timedelta(days=365)
-    sentinel = spark.createDataFrame(
-        [
-            (-1, far, -1, "click", 0.0, "{}"),
-            (-2, far, -2, "purchase", 0.0, "{}"),
-            (-3, far, -3, "view", 0.0, "{}"),
-        ],
-        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
-        "value double, props string",
-    )
-    events.unionByName(sentinel.select(*events.columns)).write.mode("overwrite").parquet(
-        os.path.join(work, "ev")
-    )
-    src = spark.readStream.schema(events.schema).parquet(os.path.join(work, "ev"))
+    src = _stage_events_sentinels(spark, sf_dir, work, ["click", "purchase", "view"])
     src = src.withWatermark("ts", "30 minutes")
     m = match_sequence(
         src,
@@ -1626,27 +1691,13 @@ def streaming_cep_quantifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_cep_nfa.py).  Sentinel far-future rows advance the watermark
     past every anchor's close, standing in for the stream continuing.
     Oracle = the identical batch recompute."""
-    import datetime
 
     from ksql_spark.operators.cep_nfa import match_quantified_stream
     from ksql_spark.streaming.sink import ExactlyOnceParquetSink
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     work = tempfile.mkdtemp(prefix="ksql_driver_cepq_")
-    events = _load(spark, sf_dir, "events")["events"]
-    if dict(events.dtypes).get("ts") == "timestamp_ntz":
-        events = events.withColumn("ts", Fn.col("ts").cast("timestamp"))
-    max_ts = events.agg(Fn.max("ts")).first()[0]
-    far = max_ts + datetime.timedelta(days=365)
-    sentinel = spark.createDataFrame(
-        [(-1, far, -1, "view", 0.0, "{}"), (-2, far, -2, "purchase", 0.0, "{}")],
-        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
-        "value double, props string",
-    )
-    events.unionByName(sentinel.select(*events.columns)).write.mode("overwrite").parquet(
-        os.path.join(work, "ev")
-    )
-    src = spark.readStream.schema(events.schema).parquet(os.path.join(work, "ev"))
+    src = _stage_events_sentinels(spark, sf_dir, work, ["view", "purchase"])
     src = src.withWatermark("ts", "30 minutes")
     m = match_quantified_stream(
         src,
@@ -1683,27 +1734,13 @@ def streaming_cep_repeat4(spark: SparkSession, sf_dir: str) -> DataFrame:
     NFA twin (streaming_cep_quantifier); the NFA is the scale path, this is
     the fixed-n relaxed-contiguity (all ordered 4-subsets) semantics
     ``repeat`` documents.  Oracle = the 5-way ordered self-join."""
-    import datetime
 
     from ksql_spark.operators.cep import match_sequence, repeat
     from ksql_spark.streaming.sink import ExactlyOnceParquetSink
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     work = tempfile.mkdtemp(prefix="ksql_driver_cepr4_")
-    events = _load(spark, sf_dir, "events")["events"]
-    if dict(events.dtypes).get("ts") == "timestamp_ntz":
-        events = events.withColumn("ts", Fn.col("ts").cast("timestamp"))
-    max_ts = events.agg(Fn.max("ts")).first()[0]
-    far = max_ts + datetime.timedelta(days=365)
-    sentinel = spark.createDataFrame(
-        [(-1, far, -1, "view", 0.0, "{}"), (-2, far, -2, "purchase", 0.0, "{}")],
-        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
-        "value double, props string",
-    )
-    events.unionByName(sentinel.select(*events.columns)).write.mode("overwrite").parquet(
-        os.path.join(work, "ev")
-    )
-    src = spark.readStream.schema(events.schema).parquet(os.path.join(work, "ev"))
+    src = _stage_events_sentinels(spark, sf_dir, work, ["view", "purchase"])
     src = src.withWatermark("ts", "30 minutes")
     m = match_sequence(
         src,
@@ -1761,31 +1798,13 @@ def streaming_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     the active 24h horizon + a flush cursor), versus one state store per
     step for the chained-join lowering.  Exactly-once flush at anchor
     close; sentinels advance the watermark.  Oracle = the batch twin."""
-    import datetime
 
     from ksql_spark.operators.cep_nfa import match_pattern_stream
     from ksql_spark.streaming.sink import ExactlyOnceParquetSink
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     work = tempfile.mkdtemp(prefix="ksql_driver_ceppat_")
-    events = _load(spark, sf_dir, "events")["events"]
-    if dict(events.dtypes).get("ts") == "timestamp_ntz":
-        events = events.withColumn("ts", Fn.col("ts").cast("timestamp"))
-    max_ts = events.agg(Fn.max("ts")).first()[0]
-    far = max_ts + datetime.timedelta(days=365)
-    sentinel = spark.createDataFrame(
-        [
-            (-1, far, -1, "view", 0.0, "{}"),
-            (-2, far, -2, "click", 0.0, "{}"),
-            (-3, far, -3, "purchase", 0.0, "{}"),
-        ],
-        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
-        "value double, props string",
-    )
-    events.unionByName(sentinel.select(*events.columns)).write.mode("overwrite").parquet(
-        os.path.join(work, "ev")
-    )
-    src = spark.readStream.schema(events.schema).parquet(os.path.join(work, "ev"))
+    src = _stage_events_sentinels(spark, sf_dir, work, ["view", "click", "purchase"])
     src = src.withWatermark("ts", "30 minutes")
     m = match_pattern_stream(src, _pattern_legs(), within_seconds=86400).filter(
         Fn.col("user_id") >= 0
@@ -1844,31 +1863,13 @@ def streaming_cep_pattern_negation(spark: SparkSession, sf_dir: str) -> DataFram
     guarded gap by the kernel at anchor-close flush.  Exactly-once via the
     flush cursor; sentinels advance the watermark.  Oracle = the batch
     NOT-EXISTS twin."""
-    import datetime
 
     from ksql_spark.operators.cep_nfa import match_pattern_stream
     from ksql_spark.streaming.sink import ExactlyOnceParquetSink
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     work = tempfile.mkdtemp(prefix="ksql_driver_cepneg_")
-    events = _load(spark, sf_dir, "events")["events"]
-    if dict(events.dtypes).get("ts") == "timestamp_ntz":
-        events = events.withColumn("ts", Fn.col("ts").cast("timestamp"))
-    max_ts = events.agg(Fn.max("ts")).first()[0]
-    far = max_ts + datetime.timedelta(days=365)
-    sentinel = spark.createDataFrame(
-        [
-            (-1, far, -1, "view", 0.0, "{}"),
-            (-2, far, -2, "click", 0.0, "{}"),
-            (-3, far, -3, "purchase", 0.0, "{}"),
-        ],
-        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
-        "value double, props string",
-    )
-    events.unionByName(sentinel.select(*events.columns)).write.mode("overwrite").parquet(
-        os.path.join(work, "ev")
-    )
-    src = spark.readStream.schema(events.schema).parquet(os.path.join(work, "ev"))
+    src = _stage_events_sentinels(spark, sf_dir, work, ["view", "click", "purchase"])
     src = src.withWatermark("ts", "30 minutes")
     m = match_pattern_stream(
         src, _pattern_negation_legs(), within_seconds=86400
@@ -1939,31 +1940,13 @@ def streaming_cep_pattern_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     and re-emits nothing for the rest of the stream.  Matches emit at
     anchor close (determinism under late data), exactly-once via the flush
     cursor.  Oracle = the batch row_number twin."""
-    import datetime
 
     from ksql_spark.operators.cep_nfa import match_pattern_stream
     from ksql_spark.streaming.sink import ExactlyOnceParquetSink
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     work = tempfile.mkdtemp(prefix="ksql_driver_cepfirst_")
-    events = _load(spark, sf_dir, "events")["events"]
-    if dict(events.dtypes).get("ts") == "timestamp_ntz":
-        events = events.withColumn("ts", Fn.col("ts").cast("timestamp"))
-    max_ts = events.agg(Fn.max("ts")).first()[0]
-    far = max_ts + datetime.timedelta(days=365)
-    sentinel = spark.createDataFrame(
-        [
-            (-1, far, -1, "view", 0.0, "{}"),
-            (-2, far, -2, "click", 0.0, "{}"),
-            (-3, far, -3, "purchase", 0.0, "{}"),
-        ],
-        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
-        "value double, props string",
-    )
-    events.unionByName(sentinel.select(*events.columns)).write.mode("overwrite").parquet(
-        os.path.join(work, "ev")
-    )
-    src = spark.readStream.schema(events.schema).parquet(os.path.join(work, "ev"))
+    src = _stage_events_sentinels(spark, sf_dir, work, ["view", "click", "purchase"])
     src = src.withWatermark("ts", "30 minutes")
     m = match_pattern_stream(
         src, _pattern_legs(), within_seconds=86400, mode="first"
@@ -2017,31 +2000,13 @@ def streaming_cep_pattern_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest.  Selections happen at anchor close in canonical order,
     exactly-once via the persisted (cursor, frontier) pair.  Oracle = the
     batch recursive-greedy twin."""
-    import datetime
 
     from ksql_spark.operators.cep_nfa import match_pattern_stream
     from ksql_spark.streaming.sink import ExactlyOnceParquetSink
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     work = tempfile.mkdtemp(prefix="ksql_driver_cepskip_")
-    events = _load(spark, sf_dir, "events")["events"]
-    if dict(events.dtypes).get("ts") == "timestamp_ntz":
-        events = events.withColumn("ts", Fn.col("ts").cast("timestamp"))
-    max_ts = events.agg(Fn.max("ts")).first()[0]
-    far = max_ts + datetime.timedelta(days=365)
-    sentinel = spark.createDataFrame(
-        [
-            (-1, far, -1, "view", 0.0, "{}"),
-            (-2, far, -2, "click", 0.0, "{}"),
-            (-3, far, -3, "purchase", 0.0, "{}"),
-        ],
-        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
-        "value double, props string",
-    )
-    events.unionByName(sentinel.select(*events.columns)).write.mode("overwrite").parquet(
-        os.path.join(work, "ev")
-    )
-    src = spark.readStream.schema(events.schema).parquet(os.path.join(work, "ev"))
+    src = _stage_events_sentinels(spark, sf_dir, work, ["view", "click", "purchase"])
     src = src.withWatermark("ts", "30 minutes")
     m = match_pattern_stream(
         src, _pattern_legs(), within_seconds=86400, mode="skip_past_last"
@@ -2096,31 +2061,13 @@ def streaming_cep_pattern_skip_next(spark: SparkSession, sf_dir: str) -> DataFra
     lineage-marker state field makes a mode flip across a checkpoint
     resume a named error.  Oracle = the batch per-anchor row_number
     twin."""
-    import datetime
 
     from ksql_spark.operators.cep_nfa import match_pattern_stream
     from ksql_spark.streaming.sink import ExactlyOnceParquetSink
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     work = tempfile.mkdtemp(prefix="ksql_driver_cepskipnext_")
-    events = _load(spark, sf_dir, "events")["events"]
-    if dict(events.dtypes).get("ts") == "timestamp_ntz":
-        events = events.withColumn("ts", Fn.col("ts").cast("timestamp"))
-    max_ts = events.agg(Fn.max("ts")).first()[0]
-    far = max_ts + datetime.timedelta(days=365)
-    sentinel = spark.createDataFrame(
-        [
-            (-1, far, -1, "view", 0.0, "{}"),
-            (-2, far, -2, "click", 0.0, "{}"),
-            (-3, far, -3, "purchase", 0.0, "{}"),
-        ],
-        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
-        "value double, props string",
-    )
-    events.unionByName(sentinel.select(*events.columns)).write.mode("overwrite").parquet(
-        os.path.join(work, "ev")
-    )
-    src = spark.readStream.schema(events.schema).parquet(os.path.join(work, "ev"))
+    src = _stage_events_sentinels(spark, sf_dir, work, ["view", "click", "purchase"])
     src = src.withWatermark("ts", "30 minutes")
     m = match_pattern_stream(
         src, _pattern_legs(), within_seconds=86400, mode="skip_to_next"
