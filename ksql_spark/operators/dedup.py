@@ -865,13 +865,18 @@ def embedding_neardup_pairs_lsh(
 def _large_star(e: DataFrame) -> DataFrame:
     """Large-star round: every node connects its strictly-larger neighbors to
     the minimum of its neighborhood (Kiveris et al., "Connected Components in
-    MapReduce and Beyond", SOCC'14).  Pure DataFrame ops: one groupBy-min and
-    one hash join per round."""
+    MapReduce and Beyond", SOCC'14).
+
+    Spelled as ONE window over the neighborhood instead of the groupBy-min +
+    self-join pair (r7, guide §2.4: the min and its re-attachment share one
+    partitioning, so a window computes both in a single exchange — each star
+    round drops from 3 shuffles to 2 and loses its join operator)."""
+    from pyspark.sql import Window
+
     und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    mins = und.groupBy("u").agg(F.min("v").alias("__mv"))
-    mins = mins.select("u", F.least(F.col("__mv"), F.col("u")).alias("m"))
+    w = Window.partitionBy("u")
     return (
-        und.join(mins, "u")
+        und.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .distinct()
@@ -880,14 +885,22 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 def _small_star(e: DataFrame) -> DataFrame:
     """Small-star round: every node connects its smaller-or-equal neighbors
-    (and itself) to the minimum among them."""
+    (and itself) to the minimum among them.
+
+    Same one-window spelling as :func:`_large_star`; the self edges are
+    emitted once per incident edge instead of once per node — the trailing
+    ``distinct`` (needed anyway for the fixed-point contract) collapses
+    them, so the output set is unchanged while the groupBy+join pair and
+    its extra shuffle disappear."""
+    from pyspark.sql import Window
+
     d = e.select(
         F.greatest(F.col("u"), F.col("v")).alias("u"),
         F.least(F.col("u"), F.col("v")).alias("v"),
     )
-    mins = d.groupBy("u").agg(F.min("v").alias("m"))
-    children = d.join(mins, "u").select(F.col("v").alias("node"), F.col("m"))
-    selves = mins.select(F.col("u").alias("node"), F.col("m"))
+    dm = d.withColumn("m", F.min("v").over(Window.partitionBy("u")))
+    children = dm.select(F.col("v").alias("node"), F.col("m"))
+    selves = dm.select(F.col("u").alias("node"), F.col("m"))
     return (
         children.union(selves)
         .filter(F.col("node") != F.col("m"))
