@@ -834,9 +834,6 @@ def _pattern_func(bounds: list, within_us: int, out_cols: list, n_legs: int,
     skip = mode == "skip_past_last"
     anchor_first = mode == "skip_to_next"
 
-    def empty() -> "pd.DataFrame":
-        return pd.DataFrame({c: [] for c in out_cols})
-
     def done_state() -> tuple:
         # first-only tombstone: empty buffers, no cursor, done flag set —
         # O(1) per matched key, persists so the key never re-matches
@@ -919,15 +916,18 @@ def _pattern_func(bounds: list, within_us: int, out_cols: list, n_legs: int,
         leg_ev, cursor, done, frontier = load(state)
         if done:
             # matched key: drop everything, keep the tombstone alive (a
-            # pre-match timeout may still fire once — re-assert the state)
+            # pre-match timeout may still fire once — re-assert the state).
+            # Yield NOTHING: building an empty frame per tombstoned key per
+            # batch is pure overhead (r7, guide §4)
             for _ in pdf_iter:
                 pass
             if state.hasTimedOut:
                 state.update(done_state())
-            yield empty()
             return
         if state.hasTimedOut:
-            yield flush(key, state, leg_ev, cursor, frontier)
+            out = flush(key, state, leg_ev, cursor, frontier)
+            if len(out.index):
+                yield out
             return
         for pdf in pdf_iter:
             if pdf.empty:
@@ -948,7 +948,9 @@ def _pattern_func(bounds: list, within_us: int, out_cols: list, n_legs: int,
                 for li in range(n_legs):
                     if masks[li][r]:
                         bisect.insort(leg_ev[li], ev)
-        yield flush(key, state, leg_ev, cursor, frontier)
+        out = flush(key, state, leg_ev, cursor, frontier)
+        if len(out.index):
+            yield out
 
     return func
 

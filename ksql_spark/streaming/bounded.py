@@ -249,25 +249,6 @@ def _bounded_func(specs: list[dict], n_keys: int, windowed: bool) -> Callable:
                 data[f"__n{ai}"] = [n]
         return pd.DataFrame(data)
 
-    def out_cols() -> list:
-        cols = (["window_start", "window_end"] if windowed else []) + [
-            f"__k{j}" for j in range(n_keys)
-        ]
-        for ai, spec in enumerate(specs):
-            kind = spec["kind"]
-            if kind == "histogram":
-                cols += [f"__hk{ai}", f"__hc{ai}"]
-            elif kind in COLLECTION_KINDS:
-                cols += [f"__out{ai}", f"__nan{ai}"]
-            elif kind == "count":
-                cols += [f"__v{ai}"]
-            else:
-                cols += [f"__v{ai}", f"__n{ai}"]
-        return cols
-
-    def empty() -> "pd.DataFrame":
-        return pd.DataFrame({c: [] for c in out_cols()})
-
     def load_state(state: GroupState) -> list:
         flat = state.get if state.exists else None
         slots = []
@@ -319,9 +300,9 @@ def _bounded_func(specs: list[dict], n_keys: int, windowed: bool) -> Callable:
     def func(key, pdf_iter: Iterator, state: GroupState) -> Iterator:
         if state.hasTimedOut:
             # watermark passed window_end: the final upsert is already in the
-            # changelog; just release the state
+            # changelog; just release the state (yield nothing — an empty
+            # frame per evicted key per batch is pure overhead, r7)
             state.remove()
-            yield empty()
             return
 
         slots = load_state(state)
@@ -363,8 +344,7 @@ def _bounded_func(specs: list[dict], n_keys: int, windowed: bool) -> Callable:
                 wm_ms = state.getCurrentWatermarkMs()
                 we_ms = int(pd.Timestamp(key[1]).value // 1_000_000)
                 state.setTimeoutTimestamp(max(we_ms, wm_ms + 1))
-            yield empty()
-            return
+            return  # nothing to emit — and no empty frame to build (r7)
 
         store_state(state, slots)
         if windowed:

@@ -244,8 +244,7 @@ def _session_func(
                 _set_timeout(state, sessions, wm_us)
             else:
                 state.remove()
-            yield emit_df(key, [])
-            return
+            return  # nothing to emit — and no empty frame to build (r7)
 
         # -- fold new rows in as single-event sessions ----------------------
         touched = False
@@ -273,8 +272,7 @@ def _session_func(
             # clears it on every invocation) or open sessions leak
             if sessions:
                 _set_timeout(state, sessions, wm_us)
-            yield emit_df(key, [])
-            return
+            return  # nothing to emit — and no empty frame to build (r7)
 
         # -- merge overlapping/touching [start, end) intervals --------------
         sessions.sort(key=lambda s: (s["start"], s["end"]))
@@ -319,7 +317,8 @@ def _session_func(
         elif state.exists:
             state.remove()
 
-        yield emit_df(key, rows)
+        if rows:
+            yield emit_df(key, rows)
 
     def _save(state: GroupState, sessions: list[dict]) -> None:
         state.update(
