@@ -1255,12 +1255,26 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, pairs)
 
 
+def _query_embedding(sf_dir: str, vec_id: int = 0) -> list:
+    """The probe vector, read via a pyarrow predicate instead of a Spark
+    job (r7: the ``.first()`` spelling cost a full scan job per entry).
+    float32 elements widen to Python floats exactly as Spark's Row does."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", vec_id)],
+    )
+    return list(tbl.column("embedding")[0].as_py())
+
+
 def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.operators.similarity import cosine_topk
 
     src = _load(spark, sf_dir, "embeddings")
     emb = src["embeddings"]
-    query = list(emb.filter(Fn.col("vec_id") == 0).first()["embedding"])
+    query = _query_embedding(sf_dir)
     return cosine_topk(emb.filter(Fn.col("vec_id") != 0), query, k=10)
 
 
@@ -1323,7 +1337,7 @@ def q_embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _load(spark, sf_dir, "embeddings")
     emb = src["embeddings"]
-    query = list(emb.filter(Fn.col("vec_id") == 0).first()["embedding"])
+    query = _query_embedding(sf_dir)
     return lsh_topk(emb.filter(Fn.col("vec_id") != 0), query, k=10, n_planes=8)
 
 
@@ -2108,9 +2122,6 @@ def streaming_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     work = tempfile.mkdtemp(prefix="ksql_driver_skewjoin_")
-    events = _load(spark, sf_dir, "events")["events"]
-    if dict(events.dtypes).get("ts") == "timestamp_ntz":
-        events = events.withColumn("ts", Fn.col("ts").cast("timestamp"))
     skew_key = Fn.when(Fn.col("user_id") % 10 < 7, Fn.lit(0)).otherwise(
         Fn.col("user_id")
     )
@@ -2118,16 +2129,28 @@ def streaming_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same-key row per input row, so the hot key's work is QUADRATIC in its
     # population — that is the cost salting spreads (it cannot shrink it).
     # The subsample keeps the 70% skew ratio while keeping the bench row
-    # proportionate to the rest of the suite at sf0.1.
-    events = events.filter(Fn.col("event_id") % 3 == 0)
-    events.write.mode("overwrite").parquet(os.path.join(work, "ev"))
-    schema = events.schema
+    # proportionate to the rest of the suite at sf0.1.  Staged with a
+    # pyarrow predicate instead of a Spark read+filter+rewrite job (r7) —
+    # identical rows under the source's own schema.
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src_path = os.path.join(sf_dir, "events.parquet")
+    tbl = pq.read_table(src_path)
+    mask = (tbl.column("event_id").to_numpy() % 3) == 0
+    os.makedirs(os.path.join(work, "ev"), exist_ok=True)
+    pq.write_table(tbl.filter(pa.array(mask)), os.path.join(work, "ev", "part-0.parquet"))
+
+    schema = spark.read.parquet(os.path.join(work, "ev")).schema
+    ts_is_ntz = any(f.name == "ts" and str(f.dataType) == "TimestampNTZType()" for f in schema)
 
     def leg(event_type: str, id_out: str, ts_out: str):
+        src = spark.readStream.schema(schema).parquet(os.path.join(work, "ev"))
+        if ts_is_ntz:
+            src = src.withColumn("ts", Fn.col("ts").cast("timestamp"))
         return (
-            spark.readStream.schema(schema)
-            .parquet(os.path.join(work, "ev"))
-            .filter(Fn.col("event_type") == event_type)
+            src.filter(Fn.col("event_type") == event_type)
             .select(
                 skew_key.alias("k") if id_out == "l_id" else skew_key.alias("__rk0"),
                 Fn.col("event_id").alias(id_out),
@@ -2197,7 +2220,7 @@ def q_embed_lsh_ann_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.operators.similarity import add_lsh_buckets, lsh_topk
 
     emb = _load(spark, sf_dir, "embeddings")["embeddings"]
-    query = list(emb.filter(Fn.col("vec_id") == 0).first()["embedding"])
+    query = _query_embedding(sf_dir)
     work = tempfile.mkdtemp(prefix="ksql_driver_annsrv_")
     corpus_path = os.path.join(work, "corpus")
     bucketed = add_lsh_buckets(emb.filter(Fn.col("vec_id") != 0), n_planes=8, n_dims=64)
