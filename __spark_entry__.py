@@ -15,6 +15,7 @@ the core parity claim (BASELINE.json north_rule).
 
 from __future__ import annotations
 
+import atexit
 import os
 import sys
 import tempfile
@@ -44,6 +45,46 @@ def _load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]
 
 def _fmt(col):
     return Fn.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+def _scratch_dir(prefix: str) -> str:
+    """Ephemeral per-entry scratch (checkpoints, staged inputs, sink dirs).
+
+    These bounded availableNow runs write hundreds of tiny checkpoint
+    files whose commit cost is dominated by local-disk fsync latency
+    (measured r7: RocksDB changelog `CommitFileSyncLatencyMs` ~= the
+    entire state-commit time on ext4).  The dirs are throwaway by
+    construction (fresh mkdtemp per entry), so RAM-backed scratch is the
+    right local placement; production deployments point checkpoints at
+    durable DFS storage instead (see deploy/).  ``KSQL_SPARK_SCRATCH``
+    overrides; falls back to the system tempdir when no tmpfs exists."""
+    root = os.environ.get("KSQL_SPARK_SCRATCH")
+    if root is None and os.access("/dev/shm", os.W_OK):
+        root = "/dev/shm/ksql_scratch"
+    if root:
+        os.makedirs(root, exist_ok=True)
+        d = tempfile.mkdtemp(prefix=prefix, dir=root)
+    else:
+        d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_DIRS.append(d)
+    return d
+
+
+_SCRATCH_DIRS: list[str] = []
+
+
+def _cleanup_scratch() -> None:
+    """Release this process's scratch dirs at exit so repeated bench runs
+    do not accumulate state in the RAM-backed fs.  (Results are always
+    fully drained before the process exits — the driver counts each
+    entry's frame before moving on.)"""
+    import shutil
+
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_cleanup_scratch)
 
 
 def _stage_events_sentinels(spark: SparkSession, sf_dir: str, work: str, types: list[str]):
@@ -412,7 +453,7 @@ def q_ddl_insert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ksql_spark.streaming.engine import PersistentQueryManager
 
-    work = tempfile.mkdtemp(prefix="ksql_driver_ddl_")
+    work = _scratch_dir("ksql_driver_ddl_")
     cat = Catalog(spark, root=os.path.join(work, "catalog"))
     mgr = PersistentQueryManager(
         spark, cat, workdir=os.path.join(work, "engine"), enable_metrics=False
@@ -454,7 +495,7 @@ def q_catalog_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ksql_spark.streaming.engine import PersistentQueryManager
 
-    work = tempfile.mkdtemp(prefix="ksql_driver_cat_")
+    work = _scratch_dir("ksql_driver_cat_")
     cat = Catalog(spark, root=os.path.join(work, "catalog"))
     mgr = PersistentQueryManager(
         spark, cat, workdir=os.path.join(work, "engine"), enable_metrics=False
@@ -724,7 +765,7 @@ def streaming_tumbling_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.streaming.engine import PersistentQueryManager
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    work = tempfile.mkdtemp(prefix="ksql_driver_")
+    work = _scratch_dir("ksql_driver_")
     cat = Catalog(spark, root=os.path.join(work, "catalog"))
     cat.register_parquet(
         "events",
@@ -779,7 +820,7 @@ def streaming_emit_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.streaming.engine import PersistentQueryManager
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    work = tempfile.mkdtemp(prefix="ksql_driver_final_")
+    work = _scratch_dir("ksql_driver_final_")
     cat = Catalog(spark, root=os.path.join(work, "catalog"))
     cat.register_parquet(
         "events",
@@ -832,7 +873,7 @@ def streaming_hopping_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.streaming.engine import PersistentQueryManager
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    work = tempfile.mkdtemp(prefix="ksql_driver_hop_")
+    work = _scratch_dir("ksql_driver_hop_")
     cat = Catalog(spark, root=os.path.join(work, "catalog"))
     cat.register_parquet(
         "events",
@@ -880,7 +921,7 @@ def streaming_session_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.streaming.engine import PersistentQueryManager
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    work = tempfile.mkdtemp(prefix="ksql_driver_sess_")
+    work = _scratch_dir("ksql_driver_sess_")
     cat = Catalog(spark, root=os.path.join(work, "catalog"))
     cat.register_parquet(
         "events",
@@ -920,7 +961,7 @@ def streaming_topk_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.streaming.engine import PersistentQueryManager
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    work = tempfile.mkdtemp(prefix="ksql_driver_topk_")
+    work = _scratch_dir("ksql_driver_topk_")
     cat = Catalog(spark, root=os.path.join(work, "catalog"))
     cat.register_parquet(
         "events",
@@ -959,7 +1000,7 @@ def streaming_histogram_changelog(spark: SparkSession, sf_dir: str) -> DataFrame
     from ksql_spark.streaming.engine import PersistentQueryManager
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    work = tempfile.mkdtemp(prefix="ksql_driver_hist_")
+    work = _scratch_dir("ksql_driver_hist_")
     cat = Catalog(spark, root=os.path.join(work, "catalog"))
     cat.register_parquet(
         "events",
@@ -993,7 +1034,7 @@ def streaming_collect_set_changelog(spark: SparkSession, sf_dir: str) -> DataFra
     from ksql_spark.streaming.engine import PersistentQueryManager
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    work = tempfile.mkdtemp(prefix="ksql_driver_cset_")
+    work = _scratch_dir("ksql_driver_cset_")
     cat = Catalog(spark, root=os.path.join(work, "catalog"))
     cat.register_parquet(
         "events",
@@ -1029,7 +1070,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.streaming.engine import PersistentQueryManager
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    work = tempfile.mkdtemp(prefix="ksql_driver_ssj_")
+    work = _scratch_dir("ksql_driver_ssj_")
     cat = Catalog(spark, root=os.path.join(work, "catalog"))
     for name in ("events_l", "events_r"):
         cat.register_parquet(
@@ -1071,7 +1112,7 @@ def streaming_stream_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.streaming.engine import PersistentQueryManager
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    work = tempfile.mkdtemp(prefix="ksql_driver_stj_")
+    work = _scratch_dir("ksql_driver_stj_")
     cat = Catalog(spark, root=os.path.join(work, "catalog"))
     cat.register_parquet(
         "events",
@@ -1481,7 +1522,7 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.streaming.sink import ExactlyOnceParquetSink
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    work = tempfile.mkdtemp(prefix="ksql_driver_ddw_")
+    work = _scratch_dir("ksql_driver_ddw_")
     cat = Catalog(spark, root=os.path.join(work, "catalog"))
     cat.register_parquet(
         "events",
@@ -1539,7 +1580,7 @@ def streaming_cep_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.streaming.sink import ExactlyOnceParquetSink
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    work = tempfile.mkdtemp(prefix="ksql_driver_cep_")
+    work = _scratch_dir("ksql_driver_cep_")
     cat = Catalog(spark, root=os.path.join(work, "catalog"))
     cat.register_parquet(
         "events",
@@ -1615,7 +1656,7 @@ def streaming_cep_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.streaming.sink import ExactlyOnceParquetSink
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    work = tempfile.mkdtemp(prefix="ksql_driver_cepneg_")
+    work = _scratch_dir("ksql_driver_cepneg_")
     src = _stage_events_sentinels(spark, sf_dir, work, ["click", "purchase", "view"])
     src = src.withWatermark("ts", "30 minutes")
     m = match_sequence(
@@ -1710,7 +1751,7 @@ def streaming_cep_quantifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.streaming.sink import ExactlyOnceParquetSink
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    work = tempfile.mkdtemp(prefix="ksql_driver_cepq_")
+    work = _scratch_dir("ksql_driver_cepq_")
     src = _stage_events_sentinels(spark, sf_dir, work, ["view", "purchase"])
     src = src.withWatermark("ts", "30 minutes")
     m = match_quantified_stream(
@@ -1753,7 +1794,7 @@ def streaming_cep_repeat4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.streaming.sink import ExactlyOnceParquetSink
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    work = tempfile.mkdtemp(prefix="ksql_driver_cepr4_")
+    work = _scratch_dir("ksql_driver_cepr4_")
     src = _stage_events_sentinels(spark, sf_dir, work, ["view", "purchase"])
     src = src.withWatermark("ts", "30 minutes")
     m = match_sequence(
@@ -1817,7 +1858,7 @@ def streaming_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.streaming.sink import ExactlyOnceParquetSink
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    work = tempfile.mkdtemp(prefix="ksql_driver_ceppat_")
+    work = _scratch_dir("ksql_driver_ceppat_")
     src = _stage_events_sentinels(spark, sf_dir, work, ["view", "click", "purchase"])
     src = src.withWatermark("ts", "30 minutes")
     m = match_pattern_stream(src, _pattern_legs(), within_seconds=86400).filter(
@@ -1882,7 +1923,7 @@ def streaming_cep_pattern_negation(spark: SparkSession, sf_dir: str) -> DataFram
     from ksql_spark.streaming.sink import ExactlyOnceParquetSink
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    work = tempfile.mkdtemp(prefix="ksql_driver_cepneg_")
+    work = _scratch_dir("ksql_driver_cepneg_")
     src = _stage_events_sentinels(spark, sf_dir, work, ["view", "click", "purchase"])
     src = src.withWatermark("ts", "30 minutes")
     m = match_pattern_stream(
@@ -1959,7 +2000,7 @@ def streaming_cep_pattern_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.streaming.sink import ExactlyOnceParquetSink
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    work = tempfile.mkdtemp(prefix="ksql_driver_cepfirst_")
+    work = _scratch_dir("ksql_driver_cepfirst_")
     src = _stage_events_sentinels(spark, sf_dir, work, ["view", "click", "purchase"])
     src = src.withWatermark("ts", "30 minutes")
     m = match_pattern_stream(
@@ -2019,7 +2060,7 @@ def streaming_cep_pattern_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.streaming.sink import ExactlyOnceParquetSink
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    work = tempfile.mkdtemp(prefix="ksql_driver_cepskip_")
+    work = _scratch_dir("ksql_driver_cepskip_")
     src = _stage_events_sentinels(spark, sf_dir, work, ["view", "click", "purchase"])
     src = src.withWatermark("ts", "30 minutes")
     m = match_pattern_stream(
@@ -2080,7 +2121,7 @@ def streaming_cep_pattern_skip_next(spark: SparkSession, sf_dir: str) -> DataFra
     from ksql_spark.streaming.sink import ExactlyOnceParquetSink
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    work = tempfile.mkdtemp(prefix="ksql_driver_cepskipnext_")
+    work = _scratch_dir("ksql_driver_cepskipnext_")
     src = _stage_events_sentinels(spark, sf_dir, work, ["view", "click", "purchase"])
     src = src.withWatermark("ts", "30 minutes")
     m = match_pattern_stream(
@@ -2121,7 +2162,7 @@ def streaming_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.streaming.skew import salted_stream_stream_join
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    work = tempfile.mkdtemp(prefix="ksql_driver_skewjoin_")
+    work = _scratch_dir("ksql_driver_skewjoin_")
     skew_key = Fn.when(Fn.col("user_id") % 10 < 7, Fn.lit(0)).otherwise(
         Fn.col("user_id")
     )
@@ -2221,7 +2262,7 @@ def q_embed_lsh_ann_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _load(spark, sf_dir, "embeddings")["embeddings"]
     query = _query_embedding(sf_dir)
-    work = tempfile.mkdtemp(prefix="ksql_driver_annsrv_")
+    work = _scratch_dir("ksql_driver_annsrv_")
     corpus_path = os.path.join(work, "corpus")
     bucketed = add_lsh_buckets(emb.filter(Fn.col("vec_id") != 0), n_planes=8, n_dims=64)
     # cluster writers by bucket first: 8 write tasks each owning whole
@@ -2248,7 +2289,7 @@ def streaming_topk_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.streaming.engine import PersistentQueryManager
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    work = tempfile.mkdtemp(prefix="ksql_driver_topkhav_")
+    work = _scratch_dir("ksql_driver_topkhav_")
     cat = Catalog(spark, root=os.path.join(work, "catalog"))
     cat.register_parquet(
         "events",
@@ -2289,7 +2330,7 @@ def streaming_multi_agg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame
     from ksql_spark.streaming.engine import PersistentQueryManager
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    work = tempfile.mkdtemp(prefix="ksql_driver_multi_")
+    work = _scratch_dir("ksql_driver_multi_")
     cat = Catalog(spark, root=os.path.join(work, "catalog"))
     cat.register_parquet(
         "events",
@@ -2352,7 +2393,7 @@ def streaming_session_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.streaming.engine import PersistentQueryManager
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    work = tempfile.mkdtemp(prefix="ksql_driver_sessfin_")
+    work = _scratch_dir("ksql_driver_sessfin_")
     cat = Catalog(spark, root=os.path.join(work, "catalog"))
     cat.register_parquet(
         "events",
@@ -2409,7 +2450,7 @@ def q_migrations_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return the step->versions trace.  Oracle = the expected trace VALUES."""
     from ksql_spark.migrations import Migrator, create_migration
 
-    work = tempfile.mkdtemp(prefix="ksql_driver_mig_")
+    work = _scratch_dir("ksql_driver_mig_")
     mdir = os.path.join(work, "migrations")
     os.makedirs(mdir)
     p1 = create_migration(mdir, "make_v1", version=1)
@@ -2595,7 +2636,7 @@ def q_select_once_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark import Catalog, F, STREAM, Schema, Select
     from ksql_spark.streaming.engine import PersistentQueryManager
 
-    work = tempfile.mkdtemp(prefix="ksql_driver_pull_")
+    work = _scratch_dir("ksql_driver_pull_")
     cat = Catalog(spark, root=os.path.join(work, "catalog"))
     cat.register_parquet(
         "events", os.path.join(sf_dir, "events.parquet"), ref=STREAM,
@@ -2623,7 +2664,7 @@ def q_select_with_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.streaming.engine import PersistentQueryManager
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    work = tempfile.mkdtemp(prefix="ksql_driver_emit_")
+    work = _scratch_dir("ksql_driver_emit_")
     cat = Catalog(spark, root=os.path.join(work, "catalog"))
     cat.register_parquet(
         "events", os.path.join(sf_dir, "events.parquet"), ref=STREAM,

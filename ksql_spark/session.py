@@ -23,6 +23,18 @@ def get_spark(
     cores = _core_count(master)
     shuffle = shuffle_partitions or cores
 
+    # Scratch placement (guide §9: point spark.local.dir at the fastest
+    # local storage): shuffle spill files and RocksDB instance working dirs
+    # are ephemeral per-process data, so a RAM-backed fs is the right local
+    # default when one exists — on this sandbox /tmp is ext4, where the
+    # many tiny shuffle/state files pay real disk latency.  Cluster
+    # deployments set KSQL_SPARK_LOCAL_DIR (or spark.local.dir via
+    # extra_conf) to their NVMe scratch volumes.
+    local_dir = os.environ.get(
+        "KSQL_SPARK_LOCAL_DIR",
+        "/dev/shm/ksql_spark_local" if os.access("/dev/shm", os.W_OK) else None,
+    )
+
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -50,6 +62,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("KSQL_SPARK_DRIVER_MEM", "8g"))
     )
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
