@@ -395,6 +395,16 @@ def _validate_legs(legs: list[tuple[str, Column, int, int | None]]) -> None:
     names = [nm for nm, _, _, _ in legs]
     if len(set(names)) != len(names):
         raise AnalysisError("leg names must be unique")
+    for nm in names:
+        # ADVICE r6: the first/skip_to_next batch lowerings sweep every
+        # output column starting with '__o' as an order key; a user leg
+        # named with that prefix would have its columns silently misused.
+        # All engine-internal columns share the '__' prefix, so reserve it.
+        if nm.startswith("__"):
+            raise AnalysisError(
+                f"leg name {nm!r} is reserved: names starting with '__' "
+                f"collide with engine-internal columns"
+            )
     for _, _, m, n in legs:
         _check_bounds(m, n)
     if legs[0][2] < 1:

@@ -48,6 +48,17 @@ def _state_schema_descriptor(df: DataFrame) -> list[list[str]] | None:
     state-schema compatibility checker)."""
     plan = df._jdf.queryExecution().analyzed().toString()
     found = [[m.group(1), m.group(2), m.group(3)] for m in _STATE_NODE_RE.finditer(plan)]
+    if not found and "FlatMapGroupsInPandasWithState" in plan:
+        # ADVICE r6: the plan HAS a custom stateful operator but the schema
+        # regex no longer matches its rendering (e.g. a Spark upgrade
+        # changed the node format).  Failing open would silently disable
+        # the resume guard; fail loud instead.
+        raise AnalysisError(
+            "state-schema guard could not parse the "
+            "FlatMapGroupsInPandasWithState node from the analyzed plan; "
+            "the plan rendering may have changed across a Spark upgrade — "
+            "update _STATE_NODE_RE in streaming/engine.py"
+        )
     return found or None
 
 

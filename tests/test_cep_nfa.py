@@ -1202,3 +1202,25 @@ def test_streaming_skip_to_next_matches_batch(spark, rand_events, tmp_path):
         key=_nsk,
     )
     assert got == want and len(got) > 5
+
+
+def test_reserved_leg_name_prefix_rejected(spark):
+    """ADVICE r6: '__'-prefixed leg names collide with the engine-internal
+    order/key columns (the first/skip_to_next lowerings sweep '__o*') and
+    must be rejected up front."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ksql_spark.errors import AnalysisError
+    from ksql_spark.operators.cep_nfa import match_pattern
+
+    df = spark.createDataFrame([(1, 1, "a")], "user_id bigint, event_id bigint, event_type string").select(
+        "user_id", "event_id", F.current_timestamp().alias("ts"), "event_type"
+    )
+    with pytest.raises(AnalysisError, match="reserved"):
+        match_pattern(
+            df,
+            [("__order", F.col("event_type") == "a", 1, 1),
+             ("b", F.col("event_type") == "b", 1, 1)],
+            within_seconds=60,
+        )
