@@ -63,6 +63,7 @@ def main() -> None:
                             "numRowsUpdated": s.numRowsUpdated,
                             "commitTimeMs": s.commitTimeMs,
                             "numShufflePartitions": s.numShufflePartitions,
+                            "customMetrics": dict(s.customMetrics),
                         }
                         for s in p.stateOperators
                     ],
