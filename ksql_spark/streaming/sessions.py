@@ -194,9 +194,18 @@ def _session_func(
         return out
 
     def emit_df(key, rows) -> pd.DataFrame:
+        import numpy as np  # noqa: PLC0415 — executor-side import
+
+        # int64 µs -> datetime64[us] via a view: the values ARE epoch
+        # micros, so this is a dtype relabel, not a conversion (r7 — the
+        # two pd.to_datetime calls per key dominated emit cost)
         data = {
-            "window_start": pd.to_datetime([r[0] for r in rows], unit="us"),
-            "window_end": pd.to_datetime([r[1] for r in rows], unit="us"),
+            "window_start": pd.Series(
+                np.fromiter((r[0] for r in rows), dtype="int64", count=len(rows)).view("M8[us]")
+            ),
+            "window_end": pd.Series(
+                np.fromiter((r[1] for r in rows), dtype="int64", count=len(rows)).view("M8[us]")
+            ),
         }
         for k in range(n_keys):
             data[f"__k{k}"] = [key[k]] * len(rows)
@@ -253,10 +262,14 @@ def _session_func(
                 continue
             touched = True
             ts_us = pdf["__ts"].astype("int64").to_numpy() // 1000  # ns -> us
+            # vectorized NULL masks + plain-python values once per batch
+            # instead of a pd.isna call per cell (r7)
             vals = [pdf[s.in_col].to_numpy() for s in specs]
+            nulls = [pd.isna(v) for v in vals]
+            vals = [v.tolist() for v in vals]
             for r in range(len(pdf)):
                 row_vals = [
-                    None if pd.isna(vals[j][r]) else vals[j][r] for j in range(len(specs))
+                    None if nulls[j][r] else vals[j][r] for j in range(len(specs))
                 ]
                 sessions.append(
                     {
