@@ -50,17 +50,14 @@ def _fmt(col):
 def _scratch_dir(prefix: str) -> str:
     """Ephemeral per-entry scratch (checkpoints, staged inputs, sink dirs).
 
-    These bounded availableNow runs write hundreds of tiny checkpoint
-    files whose commit cost is dominated by local-disk fsync latency
-    (measured r7: RocksDB changelog `CommitFileSyncLatencyMs` ~= the
-    entire state-commit time on ext4).  The dirs are throwaway by
-    construction (fresh mkdtemp per entry), so RAM-backed scratch is the
-    right local placement; production deployments point checkpoints at
-    durable DFS storage instead (see deploy/).  ``KSQL_SPARK_SCRATCH``
-    overrides; falls back to the system tempdir when no tmpfs exists."""
+    ``KSQL_SPARK_SCRATCH`` points it at a specific volume (e.g. NVMe or a
+    RAM fs); default is the system tempdir.  A tmpfs default was measured
+    (interleaved A/B, r7) and showed NO benefit over ext4 here — the
+    multi-second RocksDB `CommitFileSyncLatencyMs` readings under host
+    load turned out to be contention, not disk latency — so the
+    un-surprising default stays.  Dirs are released atexit so repeated
+    bench runs leave nothing behind."""
     root = os.environ.get("KSQL_SPARK_SCRATCH")
-    if root is None and os.access("/dev/shm", os.W_OK):
-        root = "/dev/shm/ksql_scratch"
     if root:
         os.makedirs(root, exist_ok=True)
         d = tempfile.mkdtemp(prefix=prefix, dir=root)

@@ -24,16 +24,11 @@ def get_spark(
     shuffle = shuffle_partitions or cores
 
     # Scratch placement (guide §9: point spark.local.dir at the fastest
-    # local storage): shuffle spill files and RocksDB instance working dirs
-    # are ephemeral per-process data, so a RAM-backed fs is the right local
-    # default when one exists — on this sandbox /tmp is ext4, where the
-    # many tiny shuffle/state files pay real disk latency.  Cluster
-    # deployments set KSQL_SPARK_LOCAL_DIR (or spark.local.dir via
-    # extra_conf) to their NVMe scratch volumes.
-    local_dir = os.environ.get(
-        "KSQL_SPARK_LOCAL_DIR",
-        "/dev/shm/ksql_spark_local" if os.access("/dev/shm", os.W_OK) else None,
-    )
+    # local storage): cluster deployments set KSQL_SPARK_LOCAL_DIR (or
+    # spark.local.dir via extra_conf) to their NVMe scratch volumes.  A
+    # tmpfs default was measured here (interleaved A/B, r7) at parity with
+    # the ext4 tempdir, so no default override is applied.
+    local_dir = os.environ.get("KSQL_SPARK_LOCAL_DIR")
 
     b = (
         SparkSession.builder.appName(app_name)
