@@ -19,6 +19,7 @@ import atexit
 import os
 import sys
 import tempfile
+from contextlib import contextmanager as _contextmanager
 from collections.abc import Callable
 
 # resolve the ksql_spark package relative to this file, regardless of the
@@ -45,6 +46,30 @@ def _load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]
 
 def _fmt(col):
     return Fn.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+@_contextmanager
+def _no_data_batches_off(spark: SparkSession):
+    """Skip the trailing no-data micro-batch for bounded runs whose output
+    does not depend on watermark-close emission (r7).
+
+    availableNow always appends one empty batch after the data is drained
+    so watermark-driven output (append-mode windows, outer-join
+    null-extension, timeout flushes) can complete — at the cost of a full
+    state reload + commit for every store.  UPDATE-mode changelogs and
+    eager INNER stream-stream joins emit every row in the data batches;
+    their no-data batch only evicts state that a bounded run is about to
+    discard anyway.  Entries in that class wrap their query start with
+    this guard (oracle-verified identical output); EMIT FINAL, negation
+    legs (outer joins) and the NFA timeout-flush entries keep the
+    default — their results ARE the watermark-close emissions."""
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def _scratch_dir(prefix: str) -> str:
@@ -786,7 +811,8 @@ def streaming_tumbling_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .GroupBy(F("event_type"))
         .EmitChanges()
     )
-    mgr.create_as_select(csas, available_now=True, await_termination=True)
+    with _no_data_batches_off(spark):
+        mgr.create_as_select(csas, available_now=True, await_termination=True)
     state = cat.read("QUERYABLE_hourly_stats")
     return state.select(
         _fmt("window_start").alias("window_start"),
@@ -939,7 +965,8 @@ def streaming_session_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .GroupBy(F("user_id"))
         .EmitChanges()
     )
-    mgr.create_as_select(csas, available_now=True, await_termination=True)
+    with _no_data_batches_off(spark):
+        mgr.create_as_select(csas, available_now=True, await_termination=True)
     state = cat.read("QUERYABLE_session_stats")
     return state.select(
         Fn.unix_micros(Fn.col("window_start").cast("timestamp")).alias("session_start_us"),
@@ -981,7 +1008,8 @@ def streaming_topk_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .GroupBy(F("user_id"))
         .EmitChanges()
     )
-    mgr.create_as_select(csas, available_now=True, await_termination=True)
+    with _no_data_batches_off(spark):
+        mgr.create_as_select(csas, available_now=True, await_termination=True)
     state = cat.read("QUERYABLE_user_topk")
     return state.select("user_id", Fn.posexplode("top_vals").alias("rank", "top_val")).select(
         "user_id", Fn.col("rank").cast("bigint").alias("rank"), "top_val"
@@ -1097,7 +1125,8 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .Where(F("l.event_id").Less(F("r.event_id")))
         .EmitChanges()
     )
-    mgr.create_as_select(csas, available_now=True, await_termination=True)
+    with _no_data_batches_off(spark):
+        mgr.create_as_select(csas, available_now=True, await_termination=True)
     return mgr.queries["user_event_pairs"].sink.read_data(spark)
 
 
@@ -1603,14 +1632,15 @@ def streaming_cep_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q = (
-            m.writeStream.foreachBatch(sink)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(work, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _no_data_batches_off(spark):
+            q = (
+                m.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return sink.read_data(spark)
@@ -1804,14 +1834,15 @@ def streaming_cep_repeat4(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q = (
-            m.writeStream.foreachBatch(sink)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(work, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _no_data_batches_off(spark):
+            q = (
+                m.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return sink.read_data(spark)
@@ -2207,14 +2238,15 @@ def streaming_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q = (
-            joined.writeStream.foreachBatch(sink)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(work, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _no_data_batches_off(spark):
+            q = (
+                joined.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return sink.read_data(spark)
@@ -2308,7 +2340,8 @@ def streaming_topk_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .Having(Conditional(agg, ">=", [300.0]))
         .EmitChanges()
     )
-    mgr.create_as_select(csas, available_now=True, await_termination=True)
+    with _no_data_batches_off(spark):
+        mgr.create_as_select(csas, available_now=True, await_termination=True)
     state = cat.read("QUERYABLE_user_topk_hav")
     return state.select("user_id", Fn.posexplode("top_vals").alias("rank", "top_val")).select(
         "user_id", Fn.col("rank").cast("bigint").alias("rank"), "top_val"
@@ -2354,7 +2387,8 @@ def streaming_multi_agg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame
         .GroupBy(F("user_id"))
         .EmitChanges()
     )
-    mgr.create_as_select(csas, available_now=True, await_termination=True)
+    with _no_data_batches_off(spark):
+        mgr.create_as_select(csas, available_now=True, await_termination=True)
     state = cat.read("QUERYABLE_user_mix")
     return state.select(
         "user_id",
